@@ -1,0 +1,118 @@
+"""Golden-oracle chain, FDTD leg 1: NumPy oracle vs pure-JAX step.
+
+Also validates the NumPy oracle itself against an independent, literally
+sequential transcription of the reference's update semantics (loop-for-loop),
+so the vectorized oracle is proven equivalent to the reference's in-place
+loops (reference: python-src/main.py:12-76) without importing reference code.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fdtd2d_tpu.fdtd.reference import numpy_step, numpy_simulate
+from fdtd2d_tpu.fdtd.step import fdtd_step, precompute_coefficients
+from fdtd2d_tpu.fdtd.simulate import simulate, FDTDConfig
+from fdtd2d_tpu import constants
+
+
+def _sequential_reference_step(Ez, Hx, Hy, eps, mu, dt, dx):
+    """In-place sequential update with the reference's exact loop structure."""
+    Ez, Hx, Hy = Ez.copy(), Hx.copy(), Hy.copy()
+    Hx[:-1, :] -= (dt / (mu[:-1, :-1] * dx)) * (Ez[1:, :-1] - Ez[:-1, :-1])
+    Hy[:, :-1] += (dt / (mu[:-1, :-1] * dx)) * (Ez[:-1, 1:] - Ez[:-1, :-1])
+
+    Ez_prev = Ez.copy()
+    dHy_dx = Hy[1:, 1:-1] - Hy[1:, :-2]
+    dHx_dy = Hx[1:-1, 1:] - Hx[:-2, 1:]
+    Ez[1:-1, 1:-1] += (dHy_dx - dHx_dy) * (dt / (eps[1:-1, 1:-1] * dx))
+
+    c = 1 / np.sqrt(mu[0, 0] * eps[0, 0])
+    coef = (c * dt - dx) / (c * dt + dx)
+    for i in range(5):
+        Ez[1:-1, i] = Ez_prev[1:-1, i + 1] + coef * (Ez[1:-1, i + 1] - Ez_prev[1:-1, i])
+    for i in range(5):
+        Ez[1:-1, -(i + 1)] = Ez_prev[1:-1, -(i + 2)] + coef * (
+            Ez[1:-1, -(i + 2)] - Ez_prev[1:-1, -(i + 1)]
+        )
+    for i in range(5):
+        Ez[i, 1:-1] = Ez_prev[i + 1, 1:-1] + coef * (Ez[i + 1, 1:-1] - Ez_prev[i, 1:-1])
+    for i in range(5):
+        Ez[-(i + 1), 1:-1] = Ez_prev[-(i + 2), 1:-1] + coef * (
+            Ez[-(i + 2), 1:-1] - Ez_prev[-(i + 1), 1:-1]
+        )
+    for i in range(5):
+        for j in range(5):
+            Ez[i, j] = (Ez[i, j + 1] + Ez[i + 1, j]) / 2
+            Ez[i, -j - 1] = (Ez[i, -j - 2] + Ez[i + 1, -j - 1]) / 2
+            Ez[-i - 1, j] = (Ez[-i - 2, j] + Ez[-i - 1, j + 1]) / 2
+            Ez[-i - 1, -j - 1] = (Ez[-i - 2, -j - 1] + Ez[-i - 1, -j - 2]) / 2
+    return Ez, Hx, Hy
+
+
+def _random_state(rng, rows, cols):
+    Ez = rng.standard_normal((rows, cols))
+    Hx = rng.standard_normal((rows, cols - 1))
+    Hy = rng.standard_normal((rows - 1, cols))
+    eps = constants.EPSILON_0 * (1.0 + 2.0 * rng.random((rows, cols)))
+    mu = np.full((rows, cols), constants.MU_0)
+    return Ez, Hx, Hy, eps, mu
+
+
+DT, DX = 5e-14, 1e-4
+
+
+def test_vectorized_oracle_matches_sequential_semantics():
+    rng = np.random.default_rng(0)
+    Ez, Hx, Hy, eps, mu = _random_state(rng, 48, 64)
+    for _ in range(3):
+        a = numpy_step(Ez, Hx, Hy, eps, mu, DT, DX)
+        b = _sequential_reference_step(Ez, Hx, Hy, eps, mu, DT, DX)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+        Ez, Hx, Hy = a
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_jax_step_matches_numpy_oracle(dtype):
+    rng = np.random.default_rng(1)
+    Ez, Hx, Hy, eps, mu = _random_state(rng, 40, 56)
+    ce, ch, coef = precompute_coefficients(eps, mu, DT, DX, dtype)
+    jE, jHx, jHy = jnp.asarray(Ez, dtype), jnp.asarray(Hx, dtype), jnp.asarray(Hy, dtype)
+    for _ in range(5):
+        Ez, Hx, Hy = numpy_step(Ez, Hx, Hy, eps, mu, DT, DX)
+        jE, jHx, jHy = fdtd_step(jE, jHx, jHy, ce, ch, coef)
+    tol = 1e-12 if dtype == jnp.float64 else 1e-5
+    scale = np.max(np.abs(Ez))
+    assert np.max(np.abs(np.asarray(jE) - Ez)) / scale < tol
+
+
+def test_full_rollout_fidelity_vs_oracle():
+    """200-step point-source rollout: <=1e-5 relative field error (f32)."""
+    rows = cols = 96
+    eps = np.full((rows, cols), constants.EPSILON_0)
+    eps[30:60, 30:40] *= 4.0
+    mu = np.full((rows, cols), constants.MU_0)
+    nsteps, fc = 200, 30e9
+
+    ref = numpy_simulate(eps, mu, DT, DX, nsteps, (rows // 2, cols // 2), fc)
+    cfg = FDTDConfig(dt=DT, dx=DX, nsteps=nsteps, source_xy=(rows // 2, cols // 2),
+                     source_fc=fc, dtype=jnp.float32)
+    (Ez, _, _), _ = simulate(eps, mu, cfg)
+    err = np.max(np.abs(np.asarray(Ez, np.float64) - ref)) / np.max(np.abs(ref))
+    assert err < 1e-5, f"relative field error {err:.3e}"
+
+
+def test_snapshot_frames_match_streamed_rollout():
+    rows = cols = 64
+    eps = np.full((rows, cols), constants.EPSILON_0)
+    mu = np.full((rows, cols), constants.MU_0)
+    cfg = FDTDConfig(dt=DT, dx=DX, nsteps=100, source_xy=(32, 32), source_fc=30e9,
+                     nframes=10)
+    (Ez, _, _), snaps = simulate(eps, mu, cfg)
+    assert snaps.shape == (10, rows, cols)
+    np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(Ez), rtol=0, atol=0)
+
+    ref = numpy_simulate(eps, mu, DT, DX, 50, (32, 32), 30e9)
+    mid = np.asarray(snaps[4], np.float64)
+    assert np.max(np.abs(mid - ref)) / np.max(np.abs(ref)) < 1e-5
