@@ -97,7 +97,7 @@ def test_full_rollout_fidelity_vs_oracle():
 
     ref = numpy_simulate(eps, mu, DT, DX, nsteps, (rows // 2, cols // 2), fc)
     cfg = FDTDConfig(dt=DT, dx=DX, nsteps=nsteps, source_xy=(rows // 2, cols // 2),
-                     source_fc=fc, dtype=jnp.float32)
+                     source_fc=fc, dtype=jnp.float32, backend="jax")
     (Ez, _, _), _ = simulate(eps, mu, cfg)
     err = np.max(np.abs(np.asarray(Ez, np.float64) - ref)) / np.max(np.abs(ref))
     assert err < 1e-5, f"relative field error {err:.3e}"
@@ -108,7 +108,7 @@ def test_snapshot_frames_match_streamed_rollout():
     eps = np.full((rows, cols), constants.EPSILON_0)
     mu = np.full((rows, cols), constants.MU_0)
     cfg = FDTDConfig(dt=DT, dx=DX, nsteps=100, source_xy=(32, 32), source_fc=30e9,
-                     nframes=10)
+                     nframes=10, backend="jax")
     (Ez, _, _), snaps = simulate(eps, mu, cfg)
     assert snaps.shape == (10, rows, cols)
     np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(Ez), rtol=0, atol=0)
