@@ -1,0 +1,12 @@
+from fdtd2d_tpu.ops.helmholtz import make_operator, HelmholtzOperator
+from fdtd2d_tpu.fdfd.solver import solve_fdfd, run_fdfd, shifted_laplacian_preconditioner
+from fdtd2d_tpu.fdfd.autodiff import solve_helmholtz_differentiable
+
+__all__ = [
+    "make_operator",
+    "HelmholtzOperator",
+    "solve_fdfd",
+    "run_fdfd",
+    "shifted_laplacian_preconditioner",
+    "solve_helmholtz_differentiable",
+]

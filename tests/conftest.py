@@ -2,17 +2,19 @@
 
 Multi-chip sharding tests run on a fake 8-device CPU backend — the mechanism
 the reference repo lacks entirely (it has no distributed tests; see SURVEY.md
-section 4). Must run before jax is imported anywhere.
+section 4).
+
+Note: a pytest plugin imports jax before this conftest runs, so env vars
+(JAX_PLATFORMS / XLA_FLAGS) are read too late — use jax.config.update, which
+works any time before backend initialization.
 """
 
-import os
+import jax
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
-import jax  # noqa: E402
-
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # Allow float64 oracles on CPU; runtime code is dtype-explicit (float32 on TPU).
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8
