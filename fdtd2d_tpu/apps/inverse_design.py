@@ -1,0 +1,172 @@
+"""Gradient-based photonics inverse design (frequency-response shaping).
+
+Capability-equivalent of the reference workload (reference:
+python-src/inverse_design.py:9-132): optimize a permittivity design region so
+the mean |Ez| at a probe matches an ideal binary frequency response across a
+band. The reference loops over frequencies in Python and differentiates
+through a (missing) sparse direct solve, un-jitted; here:
+
+- per-frequency operators + FDM preconditioners are built once (host side)
+  and stacked into batched pytrees,
+- the multi-frequency forward pass is one ``vmap`` over the adjoint-
+  differentiable Krylov solve (fdtd2d_tpu/fdfd/autodiff.py),
+- the whole loss-and-grad step is jitted; each gradient costs one extra
+  (adjoint) solve per frequency instead of unrolling the iteration.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator, make_operator
+from fdtd2d_tpu.ops.fdm import fdm_preconditioner_for
+from fdtd2d_tpu.fdfd.autodiff import solve_helmholtz_differentiable
+
+
+@dataclasses.dataclass(frozen=True)
+class InverseDesignProblem:
+    """Scene + objective. Slices are (row_slice, col_slice) index pairs."""
+
+    eps_base: jax.Array            # (Nx, Ny) relative permittivity background
+    mu: jax.Array                  # (Nx, Ny)
+    source: jax.Array              # (Nx, Ny)
+    omegas: np.ndarray             # (F,) concrete frequencies
+    ideal_response: jax.Array      # (F,)
+    design_region: Tuple[slice, slice]
+    probe_region: Tuple[slice, slice]
+    dx: float = 1.0
+    dy: float = 1.0
+    pml_thickness: int = 40
+    tol: float = 1e-6
+    maxiter: int = 400
+
+
+def lowpass_problem(N: int = 250, n_freqs: int = 10) -> InverseDesignProblem:
+    """The reference's low-pass-filter scene (inverse_design.py:38-61),
+    parameterized by grid size (the reference hardcodes 250).
+
+    Geometry, objective, probe, and update rule follow the reference. The
+    units are rescaled to SI (dx = 1 mm, absolute eps/mu, omegas inside the
+    lambda/10..lambda/20 resolution window): at the reference's literal
+    parameters (dx=1, eps~1, omega~1e10..1e11) the field is evanescent by
+    ~10 orders of magnitude and all responses/gradients underflow — its
+    checked-in code cannot run (stub imports), so the degeneracy was never
+    observable there.
+    """
+    from fdtd2d_tpu import constants
+
+    s = N / 250.0  # scale factor for smaller test instances
+
+    def r(v):  # scale and round an index
+        return int(round(v * s))
+
+    eps_base = jnp.ones((N, N))
+    eps_base = eps_base.at[r(100) : r(150), 0 : r(75)].set(3.0)
+    eps_base = eps_base.at[r(100) : r(150), r(175) : N].set(3.0)
+    source = jnp.zeros((N, N))
+    source = source.at[r(110) : r(140), r(40)].set(3.0)
+    return InverseDesignProblem(
+        eps_base=eps_base * constants.EPSILON_0,
+        mu=jnp.full((N, N), constants.MU_0),
+        source=source,
+        omegas=np.linspace(10e9, 17e9, n_freqs),
+        ideal_response=jnp.asarray([1.0] * (n_freqs // 2) + [0.0] * (n_freqs - n_freqs // 2)),
+        design_region=(slice(r(75), r(175)), slice(r(75), r(175))),
+        probe_region=(slice(r(110), r(140)), slice(r(210), r(210) + 1)),
+        dx=1e-3,
+        dy=1e-3,
+        pml_thickness=min(40, max(8, N // 8)),
+    )
+
+
+def _stack_ops(problem: InverseDesignProblem, dtype):
+    """Build per-omega operators + FDM preconditioners, stacked over F."""
+    ops, Ms = [], []
+    for omega in problem.omegas:
+        op = make_operator(problem.eps_base, problem.mu, problem.dx, problem.dy,
+                           float(omega), pml_thickness=problem.pml_thickness,
+                           dtype=dtype)
+        ops.append(op)
+        Ms.append(fdm_preconditioner_for(op))
+    stack = lambda *xs: jnp.stack(xs)
+    return jax.tree.map(stack, *ops), jax.tree.map(stack, *Ms)
+
+
+def make_response_fn(problem: InverseDesignProblem, dtype=jnp.complex64):
+    """Returns jitted ``responses(design) -> (F,)`` and ``loss(design)``."""
+    ops, Ms = _stack_ops(problem, dtype)
+    rs, cs = problem.design_region
+    pr, pc = problem.probe_region
+    ideal = problem.ideal_response
+
+    def one_freq(op: HelmholtzOperator, M, eps, b):
+        op = dataclasses.replace(op, eps=eps.astype(op.eps.dtype))
+        x = solve_helmholtz_differentiable(op, b, preconditioner=M,
+                                           tol=problem.tol, maxiter=problem.maxiter)
+        return jnp.mean(jnp.abs(x)[pr, pc])
+
+    @jax.jit
+    def responses(design):
+        # design lives in relative units in [1, 3] (reference clip bounds);
+        # the scene stores absolute permittivity.
+        from fdtd2d_tpu import constants
+
+        eps = problem.eps_base.at[rs, cs].set(design * constants.EPSILON_0)
+        # reference RHS convention: b = +1j * omega * source (inverse_design.py:16)
+        bs = jax.vmap(lambda op: (1j * op.omega) * problem.source.astype(dtype))(ops)
+        return jax.vmap(one_freq, in_axes=(0, 0, None, 0))(ops, Ms, eps, bs)
+
+    @jax.jit
+    def loss(design):
+        r = responses(design)
+        r = r / jnp.max(r)
+        return jnp.mean((r - ideal) ** 2)
+
+    return responses, loss
+
+
+def optimize(problem: InverseDesignProblem, *, steps: int = 100, lr: float = 0.05,
+             clip: Tuple[float, float] = (1.0, 3.0), dtype=jnp.complex64,
+             design0=None, optimizer: str = "adam", log_every: int = 10,
+             callback: Callable | None = None):
+    """Projected first-order optimization of the design region.
+
+    ``optimizer="gd"`` reproduces the reference's plain loop
+    (inverse_design.py:85-104: design -= lr * grad, clip to bounds); the
+    default Adam normalizes the highly problem-dependent gradient scale.
+    """
+    import optax
+
+    responses, loss = make_response_fn(problem, dtype)
+    rs, cs = problem.design_region
+    shape = (rs.stop - rs.start, cs.stop - cs.start)
+    # start at the interior of the box constraints (the reference starts at
+    # the lower bound 1.0, where projected GD is pinned whenever the gradient
+    # points outward — a midpoint start keeps every component free to move)
+    design = (jnp.full(shape, 0.5 * (clip[0] + clip[1]))
+              if design0 is None else jnp.asarray(design0))
+
+    tx = optax.adam(lr) if optimizer == "adam" else optax.sgd(lr)
+    opt_state = tx.init(design)
+    grad_fn = jax.jit(jax.value_and_grad(loss))
+
+    @jax.jit
+    def update(design, opt_state, g):
+        updates, opt_state = tx.update(g, opt_state, design)
+        design = jnp.clip(design + updates, clip[0], clip[1])
+        return design, opt_state
+
+    history = []
+    for step in range(steps):
+        value, g = grad_fn(design)
+        design, opt_state = update(design, opt_state, g)
+        history.append(float(value))
+        if callback is not None and (step % log_every == 0 or step == steps - 1):
+            callback(step, float(value), design)
+    return design, responses(design), history
