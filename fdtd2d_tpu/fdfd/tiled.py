@@ -1,0 +1,313 @@
+"""Tiled FDFD: overlapping-patch domain decomposition (Schwarz iteration).
+
+Capability-equivalent of the reference's tiled solver (reference:
+python-src/tiled_solver.py:111-224): overlapping patches with local PML,
+Dirichlet halo exchange from the current global solution, under-relaxed
+write-back, source-outward BFS ordering, early exit on max-delta.
+
+TPU-native redesign:
+- Patch windows are uniform (clamped inside the domain instead of clipped to
+  ragged sizes), so ALL patch solves in a sweep batch into one ``vmap`` over
+  the matrix-free Krylov solver — the reference solves patches one by one
+  with scipy LU.
+- The default mode turns the tiled machinery into a Restricted-Additive-
+  Schwarz preconditioner inside a global flexible GMRES (converges to the
+  exact global solution); ``mode="additive"`` is the damped concurrent
+  fixed-point sweep and ``mode="multiplicative"`` reproduces the reference's
+  sequential source-outward update order.
+- Dirichlet rows are imposed matrix-free: the patch operator is
+  ``x -> where(ring_mask, x, A_patch x)`` and the RHS carries the boundary
+  values, equivalent to the reference's LIL row surgery
+  (tiled_solver.py:62-99) without materializing a matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fdtd2d_tpu.ops.helmholtz import make_operator, HelmholtzOperator
+from fdtd2d_tpu.ops.fdm import fdm_preconditioner
+from fdtd2d_tpu.ops.krylov import fgmres
+from fdtd2d_tpu import constants
+
+
+def generate_patches(Nx: int, Ny: int, patch_size: int, padding: int) -> np.ndarray:
+    """Uniform-size patch origins: windows of W = patch_size + 2*padding
+    centered like the reference's (tiled_solver.py:143-153) but clamped to
+    stay inside the domain. Returns (P, 2) int array of (x0, y0)."""
+    W = patch_size + 2 * padding
+    assert Nx >= W and Ny >= W, f"grid {Nx}x{Ny} smaller than patch window {W}"
+    xs = [min(max(0, c - W // 2), Nx - W) for c in range(patch_size // 2, Nx, patch_size)]
+    ys = [min(max(0, c - W // 2), Ny - W) for c in range(patch_size // 2, Ny, patch_size)]
+    xs.append(Nx - W)  # make sure the far edge is covered
+    ys.append(Ny - W)
+    return np.array([(x, y) for x in sorted(set(xs)) for y in sorted(set(ys))])
+
+
+def bfs_order(origins: np.ndarray, W: int, source: np.ndarray, halo: int) -> np.ndarray:
+    """Source-outward BFS distances over the patch-overlap graph
+    (reference tiled_solver.py:159-185). Returns (P,) distances."""
+    P = len(origins)
+    src = np.asarray(source) != 0
+    dist = np.full(P, np.iinfo(np.int32).max, np.int64)
+    frontier = []
+    for idx, (x0, y0) in enumerate(origins):
+        if np.any(src[x0 + halo : x0 + W - halo, y0 + halo : y0 + W - halo]):
+            dist[idx] = 0
+            frontier.append(idx)
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for i in frontier:
+            ax0, ay0 = origins[i]
+            for j in range(P):
+                if dist[j] <= d:
+                    continue
+                bx0, by0 = origins[j]
+                if (ax0 <= bx0 + W and bx0 <= ax0 + W
+                        and ay0 <= by0 + W and by0 <= ay0 + W):
+                    dist[j] = d
+                    nxt.append(j)
+        frontier = nxt
+    dist[dist == np.iinfo(np.int32).max] = d + 1
+    return dist
+
+
+RING_WIDTH = 2  # the distance-2 "outrigger" stencil needs a 2-cell clamp
+
+
+def _ring_mask(W: int, halo: int) -> np.ndarray:
+    """The Dirichlet ring: a RING_WIDTH-cell band at offset ``halo`` from the
+    window edge. The reference clamps a 1-cell ring (tiled_solver.py:62-99),
+    but the operator couples cells at distance 2, so a 1-cell ring lets the
+    interior see the locally-PML'd halo band and the Schwarz fixed point is
+    biased — its README plots show exactly that approximation error. Two
+    cells shield the stencil completely."""
+    rw = RING_WIDTH
+    mask = np.zeros((W, W), bool)
+    mask[halo : halo + rw, halo : W - halo] = True
+    mask[W - halo - rw : W - halo, halo : W - halo] = True
+    mask[halo : W - halo, halo : halo + rw] = True
+    mask[halo : W - halo, W - halo - rw : W - halo] = True
+    return mask
+
+
+def _solve_patches_batched(ops_stacked, M, rings, bvals, rhs, tol, maxiter):
+    """vmapped masked-Dirichlet GMRES solve over the patch batch.
+
+    ``rings`` is a per-patch (P, W, W) clamp mask (or broadcastable stack)."""
+
+    def one(op: HelmholtzOperator, ring, bc, b):
+        def matvec(x):
+            return jnp.where(ring, x, op.apply(x))
+
+        rhs_masked = jnp.where(ring, bc, b)
+
+        def minv(r):
+            return jnp.where(ring, r, M(r))
+
+        out = fgmres(matvec, rhs_masked, minv, restart=30, maxiter=maxiter, tol=tol)
+        return out.x
+
+    return jax.vmap(one)(ops_stacked, rings, bvals, rhs)
+
+
+def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
+                   patch_size: int = 100, padding: int = 30,
+                   pml_thickness: int = 10, n_passes: int = 3,
+                   relax: float = 0.5, tol: float = 1e-2,
+                   mode: str = "krylov", solver_tol: float = 1e-6,
+                   solver_maxiter: int = 300, global_pml_thickness: int = 40,
+                   inner_iters: int = 20, dtype=jnp.complex64,
+                   verbose: bool = False):
+    """Multi-pass tiled FDFD solve. Returns (field, convergence_trace).
+
+    Parameters mirror the reference driver (tiled_solver.py:117-125); the RHS
+    convention is b = -1j*omega*source (tiled_solver.py:57).
+
+    Modes:
+    - "krylov" (default, production): the tiled machinery becomes a
+      Restricted-Additive-Schwarz preconditioner inside a global flexible
+      GMRES on the true global operator (PML of ``global_pml_thickness`` at
+      the domain edge) — converges to the exact global solution, unlike the
+      stationary Schwarz iteration, which for indefinite Helmholtz plateaus
+      at an O(0.1) bias (the approximation visible in the reference's own
+      tiled-vs-direct comparison plots, README.md:131-134).
+    - "additive": damped RAS fixed-point iteration (all patches concurrent).
+    - "multiplicative": the reference's sequential source-outward sweep.
+    """
+    eps = np.asarray(eps)
+    mu = np.asarray(mu)
+    source = np.asarray(source)
+    Nx, Ny = eps.shape
+    W = patch_size + 2 * padding
+    halo = pml_thickness
+
+    origins = generate_patches(Nx, Ny, patch_size, padding)
+    dists = bfs_order(origins, W, source, halo)
+    order = np.argsort(dists, kind="stable")
+    P = len(origins)
+
+    ring = jnp.asarray(_ring_mask(W, halo))
+    inner = slice(halo + RING_WIDTH, W - halo - RING_WIDTH)
+
+    # stacked local operators (one per patch) + one shared FDM preconditioner
+    ops = []
+    for (x0, y0) in origins:
+        ops.append(make_operator(
+            eps[x0 : x0 + W, y0 : y0 + W], mu[x0 : x0 + W, y0 : y0 + W],
+            dx, dy, float(omega), pml_thickness=pml_thickness, dtype=dtype))
+    ops_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+    M = fdm_preconditioner(W, W, dx, dy, float(omega), pml_thickness,
+                           eps_ref=float(np.mean(eps)),
+                           mu_ref=1.0 / float(np.mean(1.0 / mu)), dtype=dtype)
+
+    rhs = jnp.stack([
+        jnp.asarray(-1j * omega * source[x0 : x0 + W, y0 : y0 + W], dtype)
+        for (x0, y0) in origins
+    ])
+
+    solution = jnp.zeros((Nx, Ny), dtype)
+
+    # RAS ownership: each cell belongs to the patch (among those whose
+    # interior covers it) with the nearest window center.
+    owner = np.full((Nx, Ny), -1, np.int32)
+    best = np.full((Nx, Ny), np.inf)
+    gx, gy = np.mgrid[0:Nx, 0:Ny]
+    for p, (x0, y0) in enumerate(origins):
+        cx, cy = x0 + W / 2, y0 + W / 2
+        d2 = (gx - cx) ** 2 + (gy - cy) ** 2
+        h2 = halo + RING_WIDTH  # exclude the clamped ring from ownership
+        covers = ((gx >= x0 + h2) & (gx < x0 + W - h2)
+                  & (gy >= y0 + h2) & (gy < y0 + W - h2))
+        better = covers & (d2 < best)
+        owner[better] = p
+        best[better] = d2[better]
+    owner_valid = jnp.asarray(owner >= 0)
+    ox = origins[:, 0][np.maximum(owner, 0)]
+    oy = origins[:, 1][np.maximum(owner, 0)]
+    owner_idx = jnp.asarray(np.maximum(owner, 0))
+    owner_lx = jnp.asarray(gx - ox)
+    owner_ly = jnp.asarray(gy - oy)
+
+    if mode == "krylov":
+        gop = make_operator(eps, mu, dx, dy, float(omega),
+                            pml_thickness=global_pml_thickness, dtype=dtype)
+        b = jnp.asarray(-1j * omega * source, dtype)
+        origins_j = [(int(x0), int(y0)) for x0, y0 in origins]
+
+        # RAS subdomain operators = RESTRICTIONS of the global operator
+        # (windows of its fields, including the global PML stretch), solved
+        # with homogeneous Dirichlet on the window's outermost 2-cell band.
+        rw = RING_WIDTH
+        edges = np.zeros((P, W, W), bool)
+        for p, (x0, y0) in enumerate(origins):
+            if x0 > 0:
+                edges[p, :rw, :] = True
+            if x0 + W < Nx:
+                edges[p, -rw:, :] = True
+            if y0 > 0:
+                edges[p, :, :rw] = True
+            if y0 + W < Ny:
+                edges[p, :, -rw:] = True
+        edges = jnp.asarray(edges)
+
+        def window_op(x0, y0):
+            return HelmholtzOperator(
+                eps=gop.eps[x0 : x0 + W, y0 : y0 + W],
+                inv_mu=gop.inv_mu[x0 : x0 + W, y0 : y0 + W],
+                inv_s_row=gop.inv_s_row[x0 : x0 + W],
+                inv_s_col=gop.inv_s_col[y0 : y0 + W],
+                omega=gop.omega, inv_2dx=gop.inv_2dx, inv_2dy=gop.inv_2dy,
+                pml_thickness=0, sigma_max=gop.sigma_max, m=gop.m)
+
+        ops_k = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[window_op(x0, y0) for x0, y0 in origins_j])
+        # inner preconditioner: shifted interior FDM (no PML, complex shift
+        # keeps the resonant denominators bounded)
+        Mk = fdm_preconditioner(
+            W, W, dx, dy, float(omega), 0,
+            eps_ref=float(np.mean(eps)) * (1.0 - 0.5j),
+            mu_ref=1.0 / float(np.mean(1.0 / mu)), dtype=dtype)
+
+        # ownership for the window-edge-clamped partition
+        owner2 = np.full((Nx, Ny), -1, np.int32)
+        best2 = np.full((Nx, Ny), np.inf)
+        for p, (x0, y0) in enumerate(origins_j):
+            cx, cy = x0 + W / 2, y0 + W / 2
+            d2 = (gx - cx) ** 2 + (gy - cy) ** 2
+            lo_x = x0 if x0 == 0 else x0 + rw
+            hi_x = x0 + W if x0 + W == Nx else x0 + W - rw
+            lo_y = y0 if y0 == 0 else y0 + rw
+            hi_y = y0 + W if y0 + W == Ny else y0 + W - rw
+            covers = (gx >= lo_x) & (gx < hi_x) & (gy >= lo_y) & (gy < hi_y)
+            better = covers & (d2 < best2)
+            owner2[better] = p
+            best2[better] = d2[better]
+        o_idx = jnp.asarray(np.maximum(owner2, 0))
+        o_lx = jnp.asarray(gx - origins[:, 0][np.maximum(owner2, 0)])
+        o_ly = jnp.asarray(gy - origins[:, 1][np.maximum(owner2, 0)])
+        zero_bc = jnp.zeros((P, W, W), dtype)
+
+        def ras(r):
+            r2 = r.reshape(Nx, Ny)
+            rloc = jnp.stack([
+                jax.lax.dynamic_slice(r2, (x0, y0), (W, W)) for x0, y0 in origins_j
+            ])
+            sols = _solve_patches_batched(ops_k, Mk, edges, zero_bc, rloc,
+                                           1e-12, inner_iters)
+            return sols[o_idx, o_lx, o_ly]
+
+        out = fgmres(gop.apply, b, ras, restart=30,
+                     maxiter=solver_maxiter, tol=solver_tol)
+        if verbose:
+            print(f"krylov tiled: res={float(out.relative_residual):.3e} "
+                  f"iters={int(out.iterations)}")
+        return out.x, [float(out.relative_residual)]
+
+    solve = jax.jit(partial(_solve_patches_batched, tol=solver_tol,
+                            maxiter=solver_maxiter))
+    solve_one = jax.jit(lambda op, bc, b: _solve_patches_batched(
+        jax.tree.map(lambda x: x[None], op), M, ring[None], bc[None], b[None],
+        solver_tol, solver_maxiter)[0])
+
+    deltas = []
+    for sweep in range(n_passes):
+        if mode == "additive":
+            bvals = jnp.stack([
+                solution[x0 : x0 + W, y0 : y0 + W] for (x0, y0) in origins
+            ])
+            sols = solve(ops_stacked, M, jnp.broadcast_to(ring, (P, W, W)), bvals, rhs)
+            # Restricted Additive Schwarz write-back: each cell is owned by
+            # exactly one patch (nearest window center) — a partition of
+            # unity, which converges far better than overlap-averaging.
+            new = jnp.where(owner_valid,
+                            sols[owner_idx, owner_lx, owner_ly], solution)
+            max_delta = float(jnp.max(jnp.abs(new - solution)))
+            solution = (1.0 - relax) * solution + relax * new
+        else:  # multiplicative: reference's sequential source-outward order
+            max_delta = 0.0
+            for p in order:
+                x0, y0 = origins[p]
+                bc = solution[x0 : x0 + W, y0 : y0 + W]
+                sol = solve_one(jax.tree.map(lambda x: x[p], ops_stacked), bc, rhs[p])
+                h2 = halo + RING_WIDTH
+                tgt = solution[x0 + h2 : x0 + W - h2, y0 + h2 : y0 + W - h2]
+                new = sol[inner, inner]
+                max_delta = max(max_delta, float(jnp.max(jnp.abs(new - tgt))))
+                blended = (1.0 - relax) * tgt + relax * new
+                solution = solution.at[x0 + h2 : x0 + W - h2,
+                                       y0 + h2 : y0 + W - h2].set(blended)
+        deltas.append(max_delta)
+        if verbose:
+            print(f"sweep {sweep + 1}: max_delta={max_delta:.3e}")
+        if max_delta < tol:
+            break
+    return solution, deltas

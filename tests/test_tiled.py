@@ -1,0 +1,79 @@
+"""Tiled Schwarz solver vs the global direct/iterative solve."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fdtd2d_tpu import constants
+from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled, generate_patches, bfs_order
+from fdtd2d_tpu.ops.helmholtz import make_operator
+from fdtd2d_tpu.fdfd.solver import solve_fdfd
+
+
+def _scene(N=160):
+    eps = np.full((N, N), constants.EPSILON_0)
+    eps[60:100, 40:70] *= 2.5
+    mu = np.full((N, N), constants.MU_0)
+    source = np.zeros((N, N))
+    source[N // 2, N // 2] = 10.0
+    return eps, mu, source
+
+
+def test_patch_generation_uniform_windows():
+    origins = generate_patches(160, 160, patch_size=64, padding=16)
+    W = 64 + 32
+    assert all(0 <= x <= 160 - W and 0 <= y <= 160 - W for x, y in origins)
+    # cores must cover the domain
+    cover = np.zeros((160, 160), bool)
+    for x0, y0 in origins:
+        cover[x0 : x0 + W, y0 : y0 + W] = True
+    assert cover.all()
+
+
+def test_bfs_distances_source_outward():
+    origins = generate_patches(160, 160, patch_size=64, padding=16)
+    src = np.zeros((160, 160)); src[10, 10] = 1.0
+    d = bfs_order(origins, 96, src, halo=8)
+    assert (d == 0).any() and d.max() >= 1
+
+
+def test_tiled_krylov_matches_global_solve():
+    """RAS-preconditioned global FGMRES converges to the true solution."""
+    N, dx, omega = 160, 1e-3, 17e9
+    eps, mu, source = _scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=40, dtype=jnp.complex128)
+    want = np.asarray(solve_fdfd(op, jnp.asarray(-1j * omega * source, jnp.complex128),
+                                 tol=1e-10, maxiter=300).x)
+
+    got, trace = run_fdfd_tiled(
+        eps, mu, dx, dx, omega, source, patch_size=64, padding=24,
+        pml_thickness=10, mode="krylov", solver_tol=1e-8, solver_maxiter=120,
+        inner_iters=15, global_pml_thickness=40, dtype=jnp.complex128)
+    err = np.max(np.abs(np.asarray(got) - want)) / np.max(np.abs(want))
+    assert err < 1e-3, f"krylov tiled field error vs global solve: {err:.2e}"
+
+
+@pytest.mark.parametrize("mode", ["additive", "multiplicative"])
+def test_tiled_stationary_modes_approximate(mode):
+    """The stationary Schwarz sweeps (the reference's algorithm) converge to
+    an approximate field — the reference validated this only by eyeballing
+    plots (README.md:131-134); we bound the approximation numerically."""
+    N, dx, omega = 160, 1e-3, 17e9
+    eps, mu, source = _scene(N)
+
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=20, dtype=jnp.complex128)
+    want = np.asarray(solve_fdfd(op, jnp.asarray(-1j * omega * source, jnp.complex128),
+                                 tol=1e-10, maxiter=200).x)
+
+    got, deltas = run_fdfd_tiled(
+        eps, mu, dx, dx, omega, source, patch_size=64, padding=24,
+        pml_thickness=10, n_passes=10, relax=0.5, tol=1e-9,
+        mode=mode, dtype=jnp.complex128, solver_tol=1e-9)
+    got = np.asarray(got)
+
+    pml = 24  # compare away from the global PML ring (local PMLs differ there)
+    w = want[pml:-pml, pml:-pml]
+    g = got[pml:-pml, pml:-pml]
+    err = np.max(np.abs(g - w)) / np.max(np.abs(w))
+    assert deltas[-1] < deltas[0], f"not converging: {deltas}"
+    assert err < 0.4, f"tiled field error vs global solve: {err:.3f}"
