@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from fdtd2d_tpu.core.sources import ricker_amplitude, sinusoidal_amplitude
-from fdtd2d_tpu.fdtd.step import fdtd_step, precompute_coefficients
+from fdtd2d_tpu.fdtd.step import fdtd_step, fdtd_step_padded, precompute_coefficients
 
 # VMEM-residency limit for the fused kernel: 5 full f32 arrays must fit.
 _PALLAS_MAX_CELLS = (2048 + 256) * (2048 + 256)
@@ -41,6 +41,7 @@ class FDTDConfig:
     source_kind: str = "ricker"        # "ricker" | "sinusoidal"
     nframes: int = 0                   # 0 = no snapshots
     backend: str = "auto"              # "auto" | "jax" | "pallas"
+    padded: bool = False               # uniform (N, M) field shapes (sharded runs)
     dtype: object = jnp.float32
 
 
@@ -72,9 +73,11 @@ def _advance(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy, nsteps: int,
 
     step_offset = jnp.asarray(step_offset, jnp.int32)
 
+    step_fn = fdtd_step_padded if Hx.shape == Ez.shape else fdtd_step
+
     def body(i, carry):
         Ez, Hx, Hy = carry
-        Ez, Hx, Hy = fdtd_step(Ez, Hx, Hy, ce, ch, coef)
+        Ez, Hx, Hy = step_fn(Ez, Hx, Hy, ce, ch, coef)
         t = (step_offset + i).astype(ce.dtype) * dt
         amp = _source_amp(source_kind, t, fc)
         Ez = Ez.at[sx, sy].add(amp.astype(Ez.dtype))
@@ -120,12 +123,18 @@ def simulate(eps, mu, config: FDTDConfig, state=None):
     rows, cols = eps.shape
     if state is None:
         Ez = jnp.zeros((rows, cols), dtype)
-        Hx = jnp.zeros((rows, cols - 1), dtype)
-        Hy = jnp.zeros((rows - 1, cols), dtype)
+        if config.padded:
+            Hx = jnp.zeros((rows, cols), dtype)
+            Hy = jnp.zeros((rows, cols), dtype)
+        else:
+            Hx = jnp.zeros((rows, cols - 1), dtype)
+            Hy = jnp.zeros((rows - 1, cols), dtype)
     else:
         Ez, Hx, Hy = state
 
     ce, ch, coef = precompute_coefficients(eps, mu, config.dt, config.dx, dtype)
+    if config.padded:
+        ch = jnp.pad(ch, ((0, 1), (0, 1)))
     dt = jnp.asarray(config.dt, dtype)
     fc = jnp.asarray(config.source_fc, dtype)
     sx, sy = config.source_xy

@@ -1,0 +1,16 @@
+from fdtd2d_tpu.parallel.mesh import make_mesh, grid_sharding
+from fdtd2d_tpu.parallel.sharded import (
+    shard_operator,
+    solve_fdfd_sharded,
+    simulate_sharded,
+    sharded_matvec_shardmap,
+)
+
+__all__ = [
+    "make_mesh",
+    "grid_sharding",
+    "shard_operator",
+    "solve_fdfd_sharded",
+    "simulate_sharded",
+    "sharded_matvec_shardmap",
+]
