@@ -1,0 +1,129 @@
+"""DDPM noise schedule, loss weighting, and sampling — pure JAX.
+
+Replaces the reference's dependency on ``diffusers.DDPMScheduler`` with the
+same math (reference usage: python-src/diffusion_training.py:328 with
+``beta_schedule="squaredcos_cap_v2"``):
+
+- cosine beta schedule: beta_t = min(1 - abar(t+1)/abar(t), 0.999),
+  abar(u) = cos^2(((u/T + 0.008)/1.008) * pi/2)
+- ``add_noise``: sqrt(abar_t) x0 + sqrt(1-abar_t) noise
+- ancestral ``step`` for inference with the "fixed_small" variance
+- SNR^gamma loss weight w(t) = SNR^g/(SNR^g + 1)
+  (reference python-src/utils.py:44-59)
+- SNR^gamma importance-sampled timesteps via inverse-CDF
+  (reference python-src/diffusion_training.py:238-252)
+
+Everything is shape-static and jit/vmap/scan-friendly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def cosine_beta_schedule(num_timesteps: int = 1000, max_beta: float = 0.999) -> jnp.ndarray:
+    """'squaredcos_cap_v2' betas (diffusers parity)."""
+    u = jnp.arange(num_timesteps + 1) / num_timesteps
+    abar = jnp.cos(((u + 0.008) / 1.008) * jnp.pi / 2) ** 2
+    betas = 1.0 - abar[1:] / abar[:-1]
+    return jnp.clip(betas, 0.0, max_beta)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DDPMSchedule:
+    betas: jax.Array
+    alphas_cumprod: jax.Array
+
+    @staticmethod
+    def create(num_timesteps: int = 1000) -> "DDPMSchedule":
+        betas = cosine_beta_schedule(num_timesteps)
+        return DDPMSchedule(betas=betas, alphas_cumprod=jnp.cumprod(1.0 - betas))
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.betas.shape[0]
+
+    def add_noise(self, x0, noise, t):
+        """Forward process q(x_t | x_0); t is a (B,) int array."""
+        abar = self.alphas_cumprod[t]
+        shape = (-1,) + (1,) * (x0.ndim - 1)
+        return (jnp.sqrt(abar).reshape(shape) * x0
+                + jnp.sqrt(1.0 - abar).reshape(shape) * noise)
+
+    def step(self, noise_pred, t, t_prev, sample, key=None, clip_sample=False):
+        """One ancestral denoising step from t to t_prev (DDPM).
+
+        ``clip_sample=False`` by default: physical fields are not bounded to
+        [-1, 1] (the reference inherited diffusers' clipping default, which
+        silently truncates field amplitudes).
+        """
+        abar_t = self.alphas_cumprod[t]
+        abar_prev = jnp.where(t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+        alpha_t = abar_t / abar_prev
+        beta_t = 1.0 - alpha_t
+
+        x0 = (sample - jnp.sqrt(1.0 - abar_t) * noise_pred) / jnp.sqrt(abar_t)
+        if clip_sample:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+
+        coef_x0 = jnp.sqrt(abar_prev) * beta_t / (1.0 - abar_t)
+        coef_xt = jnp.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar_t)
+        mean = coef_x0 * x0 + coef_xt * sample
+
+        var = beta_t * (1.0 - abar_prev) / (1.0 - abar_t)  # "fixed_small"
+        if key is None:
+            return mean
+        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        return mean + jnp.where(t_prev >= 0, jnp.sqrt(jnp.maximum(var, 0.0)), 0.0) * noise
+
+    def inference_timesteps(self, num_inference_steps: int) -> jnp.ndarray:
+        """Strided timestep ladder (diffusers set_timesteps parity)."""
+        T = self.num_timesteps
+        stride = T // num_inference_steps
+        return (jnp.arange(0, num_inference_steps) * stride)[::-1]
+
+
+def snr_gamma_weight(schedule: DDPMSchedule, t, gamma: float = 5.0):
+    """w(t) = SNR^gamma / (SNR^gamma + 1) (reference utils.py:44-59)."""
+    abar = schedule.alphas_cumprod[t]
+    snr = abar / (1.0 - abar)
+    return snr**gamma / (snr**gamma + 1.0)
+
+
+def importance_sample_timesteps(schedule: DDPMSchedule, key, batch_size: int,
+                                gamma: float = 1.3):
+    """Draw t ~ SNR(t)^gamma via inverse-CDF sampling
+    (reference diffusion_training.py:238-252)."""
+    snr = schedule.alphas_cumprod / (1.0 - schedule.alphas_cumprod)
+    w = snr**gamma
+    cdf = jnp.cumsum(w / jnp.sum(w))
+    u = jax.random.uniform(key, (batch_size,))
+    return jnp.clip(jnp.searchsorted(cdf, u, side="right"), 0,
+                    schedule.num_timesteps - 1)
+
+
+def sample(schedule: DDPMSchedule, apply_fn, key, eps, mu, src, omega,
+           num_inference_steps: int = 50, stochastic: bool = True):
+    """Full DDPM inference loop under ``lax.scan``
+    (reference inference(), diffusion_training.py:283-323)."""
+    ts = schedule.inference_timesteps(num_inference_steps)
+    ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1])])
+    key, k0 = jax.random.split(key)
+    x = jax.random.normal(k0, eps.shape)
+
+    def body(carry, tt):
+        x, key = carry
+        t, t_prev = tt
+        key, k = jax.random.split(key)
+        tb = jnp.full((eps.shape[0],), t)
+        noise_pred = apply_fn(eps, mu, src, x, tb, omega)
+        x = schedule.step(noise_pred, t, t_prev, x,
+                          key=k if stochastic else None)
+        return (x, key), None
+
+    (x, _), _ = jax.lax.scan(body, (x, key), (ts, ts_prev))
+    return x

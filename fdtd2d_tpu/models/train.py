@@ -1,0 +1,177 @@
+"""Diffusion-surrogate training: jitted steps, checkpoint/RESUME, eval.
+
+Reference training loop (python-src/diffusion_training.py:326-406): AdamW
+lr 3e-5, batch 8, SNR^1.3 importance-sampled timesteps, SNR^5-weighted
+noise-prediction MSE, per-epoch inference comparison, checkpoint every 10
+epochs. The reference has NO resume path (SURVEY.md section 5); here
+checkpoints are orbax-managed and ``restore`` round-trips the full train
+state. Data-parallel scaling = shard the batch over a mesh ('dp') and jit —
+gradients all-reduce over ICI automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from fdtd2d_tpu.models.unet import UNet2D
+from fdtd2d_tpu.models.diffusion import (
+    DDPMSchedule, snr_gamma_weight, importance_sample_timesteps, sample,
+)
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: dict
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 3e-5
+    batch_size: int = 8
+    num_epochs: int = 100
+    snr_weight_gamma: float = 5.0
+    timestep_gamma: float = 1.3
+    num_train_timesteps: int = 1000
+    ckpt_every: int = 10
+    ckpt_dir: Optional[str] = None
+
+
+def create_state(key, shape: Tuple[int, int], config: TrainConfig,
+                 model: Optional[UNet2D] = None) -> TrainState:
+    model = model or UNet2D()
+    H, W = shape
+    dummy = jnp.zeros((1, H, W))
+    variables = model.init(key, dummy, dummy, dummy, dummy,
+                           jnp.zeros((1,), jnp.int32), jnp.zeros((1,)), train=False)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=optax.adamw(config.lr),
+    )
+
+
+@partial(jax.jit, static_argnames=("snr_gamma", "t_gamma"))
+def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
+               snr_gamma: float = 5.0, t_gamma: float = 1.3):
+    """One SNR-weighted noise-prediction step (reference :345-373)."""
+    k_t, k_noise = jax.random.split(key)
+    B = batch["Ez"].shape[0]
+    t = importance_sample_timesteps(schedule, k_t, B, gamma=t_gamma)
+    noise = jax.random.normal(k_noise, batch["Ez"].shape)
+    noisy = schedule.add_noise(batch["Ez"], noise, t)
+
+    def loss_fn(params):
+        pred, updates = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            batch["eps"], batch["mu"], batch["src"], noisy,
+            t, batch["omega"], train=True, mutable=["batch_stats"],
+        )
+        w = snr_gamma_weight(schedule, t, gamma=snr_gamma)
+        per_sample = jnp.mean((pred - noise) ** 2, axis=(1, 2))
+        return jnp.mean(w * per_sample), updates["batch_stats"]
+
+    (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+    state = state.apply_gradients(grads=grads)
+    state = state.replace(batch_stats=new_stats)
+    return state, loss
+
+
+def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
+              omega, num_inference_steps: int = 50):
+    """Denoise from pure noise (reference inference(), :283-323)."""
+
+    def apply_fn(eps, mu, src, x, t, om):
+        return state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            eps, mu, src, x, t, om, train=False,
+        )
+
+    return sample(schedule, apply_fn, key, eps, mu, src, omega,
+                  num_inference_steps=num_inference_steps)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (save AND restore — the reference only saves)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> None:
+    import os
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(f"{ckpt_dir}/epoch_{epoch:05d}")
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params, "batch_stats": state.batch_stats,
+               "opt_state": state.opt_state, "step": state.step, "epoch": epoch}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(ckpt_dir: str, state: TrainState):
+    """Restore the latest checkpoint into ``state``; returns (state, epoch)."""
+    import os
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(ckpt_dir):
+        return state, 0
+    epochs = sorted(
+        int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("epoch_")
+    )
+    if not epochs:
+        return state, 0
+    epoch = epochs[-1]
+    ckptr = ocp.StandardCheckpointer()
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step, "epoch": 0}
+    payload = ckptr.restore(f"{ckpt_dir}/epoch_{epoch:05d}", template)
+    state = state.replace(params=payload["params"],
+                          batch_stats=payload["batch_stats"],
+                          opt_state=payload["opt_state"], step=payload["step"])
+    return state, epoch + 1
+
+
+def train(key, data: dict, config: TrainConfig,
+          state: Optional[TrainState] = None, eval_every: int = 0,
+          callback=None):
+    """Epoch loop over an in-memory dataset dict (eps/mu/src/omega/Ez).
+
+    Resumes from ``config.ckpt_dir`` if checkpoints exist there.
+    """
+    schedule = DDPMSchedule.create(config.num_train_timesteps)
+    n = data["Ez"].shape[0]
+    shape = data["Ez"].shape[1:]
+    key, k_init = jax.random.split(key)
+    if state is None:
+        state = create_state(k_init, shape, config)
+    start_epoch = 0
+    if config.ckpt_dir:
+        state, start_epoch = restore_checkpoint(config.ckpt_dir, state)
+
+    losses = []
+    for epoch in range(start_epoch, config.num_epochs):
+        key, k_perm = jax.random.split(key)
+        perm = jax.random.permutation(k_perm, n)
+        epoch_loss, nb = 0.0, 0
+        for i in range(0, n - config.batch_size + 1, config.batch_size):
+            idx = perm[i : i + config.batch_size]
+            batch = {k: v[idx] for k, v in data.items() if k != "residuals"}
+            key, k_step = jax.random.split(key)
+            state, loss = train_step(state, schedule, k_step, batch,
+                                     snr_gamma=config.snr_weight_gamma,
+                                     t_gamma=config.timestep_gamma)
+            epoch_loss += float(loss)
+            nb += 1
+        losses.append(epoch_loss / max(nb, 1))
+        if callback:
+            callback(epoch, losses[-1], state)
+        if config.ckpt_dir and (epoch + 1) % config.ckpt_every == 0:
+            save_checkpoint(config.ckpt_dir, state, epoch)
+    return state, losses

@@ -1,0 +1,144 @@
+"""Diffusion surrogate: UNet, schedule, datagen, training, checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fdtd2d_tpu.models.unet import UNet2D, sinusoidal_embedding
+from fdtd2d_tpu.models.diffusion import (
+    DDPMSchedule, cosine_beta_schedule, snr_gamma_weight,
+    importance_sample_timesteps,
+)
+from fdtd2d_tpu.models.datagen import (
+    random_permittivity, random_source, generate_batch, default_preconditioner,
+)
+from fdtd2d_tpu.models.train import (
+    TrainConfig, create_state, train_step, inference,
+    save_checkpoint, restore_checkpoint,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_cosine_schedule_matches_diffusers_formula():
+    """Transcription oracle of diffusers' squaredcos_cap_v2 betas."""
+    T = 1000
+
+    def alpha_bar(u):
+        return np.cos((u + 0.008) / 1.008 * np.pi / 2) ** 2
+
+    want = np.array([min(1 - alpha_bar((i + 1) / T) / alpha_bar(i / T), 0.999)
+                     for i in range(T)])
+    got = np.asarray(cosine_beta_schedule(T))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_schedule_add_noise_and_snr_weight():
+    s = DDPMSchedule.create(1000)
+    x0 = jnp.ones((2, 8, 8))
+    noise = jnp.zeros((2, 8, 8))
+    t = jnp.asarray([0, 999])
+    noisy = s.add_noise(x0, noise, t)
+    # early timestep nearly clean, late timestep nearly destroyed
+    assert float(noisy[0].mean()) > 0.99
+    assert float(noisy[1].mean()) < 0.1
+    w = snr_gamma_weight(s, t)
+    assert float(w[0]) > 0.99 and float(w[1]) < 1e-4
+
+
+def test_importance_sampling_prefers_high_snr():
+    s = DDPMSchedule.create(1000)
+    t = importance_sample_timesteps(s, KEY, 4096, gamma=1.3)
+    assert float(jnp.mean(t)) < 500  # skewed toward low t (high SNR)
+    assert int(jnp.min(t)) >= 0 and int(jnp.max(t)) < 1000
+
+
+def test_unet_forward_shapes_and_grads():
+    model = UNet2D(channels=(8, 16, 32), bottleneck=64, time_embed_dim=64)
+    B, H, W = 2, 32, 32
+    f = jnp.ones((B, H, W))
+    variables = model.init(KEY, f, f, f, f, jnp.zeros((B,), jnp.int32),
+                           jnp.ones((B,)), train=False)
+    out = model.apply(variables, f, f, f, f, jnp.zeros((B,), jnp.int32),
+                      jnp.ones((B,)), train=False)
+    assert out.shape == (B, H, W)
+    emb = sinusoidal_embedding(jnp.asarray([3.0]), 64)
+    assert emb.shape == (1, 64)
+
+
+def test_datagen_statistics():
+    eps, mu = random_permittivity(KEY, (64, 64))
+    vals = np.unique(np.asarray(eps))
+    assert len(vals) == 2  # binary field
+    frac = float(jnp.mean(eps == vals.max()))
+    assert 0.05 < frac < 0.95
+
+    srcs = jax.vmap(lambda k: random_source(k, (64, 64)))(jax.random.split(KEY, 32))
+    counts = np.asarray(jnp.sum(srcs, axis=(1, 2)))
+    assert counts.min() >= 1  # every sample has a source
+    assert (counts > 1).any() and (counts == 1).any()  # lines and points
+
+
+def test_generate_batch_solves():
+    shape = (48, 48)
+    M = default_preconditioner(shape, pml_thickness=8)
+    out = generate_batch(KEY, batch=4, shape=shape, pml_thickness=8,
+                         maxiter=300, M=M)
+    assert out["Ez"].shape == (4, 48, 48)
+    assert np.all(np.isfinite(np.asarray(out["Ez"])))
+    assert float(jnp.max(out["residuals"])) < 1e-3, (
+        f"datagen solves unconverged: {np.asarray(out['residuals'])}")
+    assert np.all(np.asarray(out["omega"]) >= 18e9)
+    assert np.all(np.asarray(out["omega"]) <= 30e9)
+
+
+def _tiny_data(n=8, hw=32):
+    k = jax.random.PRNGKey(1)
+    return {
+        "eps": jax.random.uniform(k, (n, hw, hw)),
+        "mu": jnp.ones((n, hw, hw)),
+        "src": jnp.zeros((n, hw, hw)).at[:, hw // 2, hw // 2].set(1.0),
+        "omega": jnp.linspace(0.5, 1.5, n),
+        "Ez": jax.random.normal(k, (n, hw, hw)),
+    }
+
+
+def _tiny_model():
+    return UNet2D(channels=(4, 8, 16), bottleneck=32, time_embed_dim=32)
+
+
+def test_train_step_and_inference():
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4)
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(1000)
+    batch = {k: v[:4] for k, v in data.items()}
+    losses = []
+    for i in range(3):
+        state, loss = train_step(state, schedule, jax.random.PRNGKey(i), batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+
+    out = inference(state, schedule, KEY, *[batch[k] for k in ("eps", "mu", "src")],
+                    batch["omega"], num_inference_steps=5)
+    assert out.shape == (4, 32, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainConfig(batch_size=4, ckpt_dir=str(tmp_path))
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(100)
+    batch = {k: v[:4] for k, v in _tiny_data().items()}
+    state, _ = train_step(state, schedule, KEY, batch)
+    save_checkpoint(str(tmp_path), state, epoch=3)
+
+    fresh = create_state(jax.random.PRNGKey(9), (32, 32), cfg, model=_tiny_model())
+    restored, next_epoch = restore_checkpoint(str(tmp_path), fresh)
+    assert next_epoch == 4
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert int(restored.step) == int(state.step)
