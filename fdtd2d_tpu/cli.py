@@ -1,0 +1,223 @@
+"""Command-line drivers for every workload.
+
+The reference's "CLI" is five ``if __name__ == "__main__"`` blocks with
+hardcoded constants (reference: python-src/fdtd.py:13-40, fdfd.py:81-118,
+inverse_design.py:38-132, diffusion_training.py:326-406,
+region_drawer.py:91-129). Here each workload is a subcommand with flags:
+
+    fdtd2d fdtd    --size 200 --steps 1000 [--structure img.png] [--video out.mp4]
+    fdtd2d fdfd    --size 512 --omega 17e9 [--structure img.png] [--out Ez.png]
+    fdtd2d tiled   --size 512 --omega 17e9 [--mode krylov|additive|multiplicative]
+    fdtd2d invdes  --size 250 --steps 100 [--out design.png]
+    fdtd2d datagen --samples 1000 --size 250 --out data.npz
+    fdtd2d train   --data data.npz --epochs 100 [--ckpt-dir ckpts]
+    fdtd2d bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def _load_scene(args, black_point=10.0):
+    from fdtd2d_tpu.core.materials import material_init
+
+    return material_init(getattr(args, "structure", None), args.size, args.size,
+                         black_point=black_point, dtype=np.float32)
+
+
+def cmd_fdtd(args):
+    import jax.numpy as jnp
+
+    from fdtd2d_tpu.core.guards import check_courant
+    from fdtd2d_tpu.fdtd.simulate import simulate, FDTDConfig
+    from fdtd2d_tpu.viz.render import render_video
+
+    eps, mu = _load_scene(args)
+    courant = check_courant(eps, mu, args.dt, args.dx)
+    print(f"courant number: {courant:.4f}")
+    cfg = FDTDConfig(dt=args.dt, dx=args.dx, nsteps=args.steps,
+                     source_xy=(args.size // 2, args.size // 2),
+                     source_fc=args.fc, nframes=args.frames,
+                     backend=args.backend)
+    (Ez, _, _), snaps = simulate(eps, mu, cfg)
+    print(f"max |Ez| = {float(jnp.max(jnp.abs(Ez))):.4e}")
+    if args.video and snaps is not None:
+        out = render_video(np.asarray(snaps), eps, args.video, fps=15)
+        print(f"wrote {out}")
+
+
+def cmd_fdfd(args):
+    import jax.numpy as jnp
+
+    from fdtd2d_tpu.core.guards import check_resolution
+    from fdtd2d_tpu.fdfd.solver import run_fdfd
+    from fdtd2d_tpu.viz.render import plot_Ez
+
+    eps, mu = _load_scene(args, black_point=3.0)
+    check_resolution(eps, mu, args.omega, args.dx)
+    source = np.zeros((args.size, args.size), np.float32)
+    source[args.size // 5, args.size // 5] = 10.0
+    res = run_fdfd(eps, mu, args.dx, args.dx, args.omega, source,
+                   rhs_scale=args.omega,  # reference driver convention (fdfd.py:112)
+                   tol=args.tol, maxiter=args.maxiter)
+    Ez = np.real(np.asarray(res.x))
+    print(f"relative residual: {float(res.relative_residual):.3e}")
+    if args.out:
+        m = float(np.abs(Ez).max()) or 1.0
+        plot_Ez(Ez, eps, args.out, vmax=m, vmin=-m)
+        print(f"wrote {args.out}")
+
+
+def cmd_tiled(args):
+    from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled
+    from fdtd2d_tpu.viz.render import plot_Ez
+
+    eps, mu = _load_scene(args, black_point=3.0)
+    source = np.zeros((args.size, args.size), np.float32)
+    source[args.size // 2, args.size // 2] = 10.0
+    sol, trace = run_fdfd_tiled(
+        eps, mu, args.dx, args.dx, args.omega, source, mode=args.mode,
+        patch_size=args.patch_size, padding=args.padding, verbose=True)
+    print(f"convergence trace: {[f'{t:.2e}' for t in trace]}")
+    if args.out:
+        Ez = np.real(np.asarray(sol))
+        m = float(np.abs(Ez).max()) or 1.0
+        plot_Ez(Ez, eps, args.out, vmax=m, vmin=-m)
+        print(f"wrote {args.out}")
+
+
+def cmd_invdes(args):
+    from fdtd2d_tpu.apps.inverse_design import lowpass_problem, optimize
+    from fdtd2d_tpu.viz.plots import plot_frequency_response
+
+    problem = lowpass_problem(N=args.size, n_freqs=args.freqs)
+    design, responses, history = optimize(
+        problem, steps=args.steps, lr=args.lr,
+        callback=lambda s, v, d: print(f"step {s}: loss {v:.6f}"))
+    print(f"final loss: {history[-1]:.6f}")
+    if args.out:
+        plot_frequency_response(problem.omegas, np.asarray(responses),
+                                np.asarray(problem.ideal_response), args.out)
+        print(f"wrote {args.out}")
+
+
+def cmd_datagen(args):
+    import jax
+
+    from fdtd2d_tpu.models.datagen import generate_dataset
+
+    data = generate_dataset(jax.random.PRNGKey(args.seed), args.samples,
+                            (args.size, args.size), batch=args.batch,
+                            pml_thickness=args.pml)
+    worst = float(np.max(np.asarray(data["residuals"])))
+    print(f"{args.samples} samples; worst solve residual {worst:.2e}")
+    np.savez(args.out, **{k: np.asarray(v) for k, v in data.items()})
+    print(f"wrote {args.out}")
+
+
+def cmd_train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from fdtd2d_tpu.models.train import TrainConfig, train
+
+    raw = np.load(args.data)
+    data = {k: jnp.asarray(raw[k]) for k in ("eps", "mu", "src", "omega", "Ez")}
+    cfg = TrainConfig(lr=args.lr, batch_size=args.batch, num_epochs=args.epochs,
+                      ckpt_dir=args.ckpt_dir)
+    state, losses = train(
+        jax.random.PRNGKey(args.seed), data, cfg,
+        callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}"))
+    print(f"final loss {losses[-1]:.6f}")
+
+
+def cmd_bench(args):
+    del args
+    import runpy
+    import pathlib
+
+    runpy.run_path(str(pathlib.Path(__file__).resolve().parents[1] / "bench.py"),
+                   run_name="__main__")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fdtd2d", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    f = sub.add_parser("fdtd", help="time-domain rollout")
+    f.add_argument("--size", type=int, default=200)
+    f.add_argument("--steps", type=int, default=1000)
+    f.add_argument("--dt", type=float, default=5e-14)
+    f.add_argument("--dx", type=float, default=1e-4)
+    f.add_argument("--fc", type=float, default=30e9)
+    f.add_argument("--frames", type=int, default=200)
+    f.add_argument("--structure", type=str, default=None)
+    f.add_argument("--backend", type=str, default="auto")
+    f.add_argument("--video", type=str, default=None)
+    f.set_defaults(fn=cmd_fdtd)
+
+    f = sub.add_parser("fdfd", help="steady-state solve")
+    f.add_argument("--size", type=int, default=512)
+    f.add_argument("--omega", type=float, default=17e9)
+    f.add_argument("--dx", type=float, default=1e-3)
+    f.add_argument("--tol", type=float, default=1e-6)
+    f.add_argument("--maxiter", type=int, default=1000)
+    f.add_argument("--structure", type=str, default=None)
+    f.add_argument("--out", type=str, default="Ez.png")
+    f.set_defaults(fn=cmd_fdfd)
+
+    f = sub.add_parser("tiled", help="domain-decomposed solve")
+    f.add_argument("--size", type=int, default=512)
+    f.add_argument("--omega", type=float, default=17e9)
+    f.add_argument("--dx", type=float, default=1e-3)
+    f.add_argument("--mode", type=str, default="krylov",
+                   choices=["krylov", "additive", "multiplicative"])
+    f.add_argument("--patch-size", type=int, default=100)
+    f.add_argument("--padding", type=int, default=30)
+    f.add_argument("--structure", type=str, default=None)
+    f.add_argument("--out", type=str, default="Ez_tiled.png")
+    f.set_defaults(fn=cmd_tiled)
+
+    f = sub.add_parser("invdes", help="inverse design (low-pass filter)")
+    f.add_argument("--size", type=int, default=250)
+    f.add_argument("--steps", type=int, default=100)
+    f.add_argument("--freqs", type=int, default=10)
+    f.add_argument("--lr", type=float, default=0.05)
+    f.add_argument("--out", type=str, default="frequency_response.png")
+    f.set_defaults(fn=cmd_invdes)
+
+    f = sub.add_parser("datagen", help="surrogate training data")
+    f.add_argument("--samples", type=int, default=1000)
+    f.add_argument("--size", type=int, default=250)
+    f.add_argument("--batch", type=int, default=64)
+    f.add_argument("--pml", type=int, default=40)
+    f.add_argument("--seed", type=int, default=0)
+    f.add_argument("--out", type=str, default="data.npz")
+    f.set_defaults(fn=cmd_datagen)
+
+    f = sub.add_parser("train", help="diffusion surrogate training")
+    f.add_argument("--data", type=str, required=True)
+    f.add_argument("--epochs", type=int, default=100)
+    f.add_argument("--batch", type=int, default=8)
+    f.add_argument("--lr", type=float, default=3e-5)
+    f.add_argument("--seed", type=int, default=0)
+    f.add_argument("--ckpt-dir", type=str, default=None)
+    f.set_defaults(fn=cmd_train)
+
+    f = sub.add_parser("bench", help="headline benchmark (one JSON line)")
+    f.set_defaults(fn=cmd_bench)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
