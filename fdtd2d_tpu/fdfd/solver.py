@@ -116,7 +116,9 @@ def _solve_core(op, b, M, *, method, builtin_pc, tol, maxiter, restart):
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    res = jnp.linalg.norm(op.apply(x) - b2) / jnp.linalg.norm(b2)
+    from fdtd2d_tpu.ops.cplx import cnorm
+
+    res = cnorm(op.apply(x) - b2) / cnorm(b2)
     return SolveResult(x=x, relative_residual=res, converged=res < 10 * tol)
 
 

@@ -1,0 +1,40 @@
+"""TPU-compatible complex contraction helpers.
+
+This TPU backend supports elementwise complex arithmetic but NOT complex
+contractions (``dot_general`` on complex — so ``@``, ``jnp.vdot``,
+``jnp.tensordot``, ``jnp.linalg.norm`` on complex inputs all fail with
+UNIMPLEMENTED). These helpers express the same operations through real
+contractions (which also land on the MXU, where the FLOPs belong).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def cdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """<a, b> = sum(conj(a) * b) without a complex dot_general."""
+    ar, ai = jnp.real(a), jnp.imag(a)
+    br, bi = jnp.real(b), jnp.imag(b)
+    re = jnp.sum(ar * br + ai * bi)
+    if not jnp.iscomplexobj(a) and not jnp.iscomplexobj(b):
+        return re
+    im = jnp.sum(ar * bi - ai * br)
+    return jax.lax.complex(re, im)
+
+
+def cnorm(a: jax.Array) -> jax.Array:
+    """||a||_2 as a real scalar (complex-safe)."""
+    return jnp.sqrt(jnp.sum(jnp.real(a) ** 2 + jnp.imag(a) ** 2))
+
+
+def cmatmul(A: jax.Array, B: jax.Array) -> jax.Array:
+    """A @ B via four real matmuls when either operand is complex."""
+    if not (jnp.iscomplexobj(A) or jnp.iscomplexobj(B)):
+        return A @ B
+    Ar, Ai = jnp.real(A), jnp.imag(A)
+    Br, Bi = jnp.real(B), jnp.imag(B)
+    re = Ar @ Br - Ai @ Bi
+    im = Ar @ Bi + Ai @ Br
+    return jax.lax.complex(re, im)

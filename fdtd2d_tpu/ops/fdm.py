@@ -73,11 +73,13 @@ class FDMPreconditioner:
     D: jax.Array      # (Nx, Ny) spectral inverse
 
     def __call__(self, r):
+        from fdtd2d_tpu.ops.cplx import cmatmul
+
         Nx, Ny = self.D.shape
         shape = r.shape
         R = r.reshape(Nx, Ny).astype(self.Pr.dtype)
-        Y = (self.Pri @ R @ self.PcTi) * self.D
-        return (self.Pr @ Y @ self.PcT).reshape(shape)
+        Y = cmatmul(cmatmul(self.Pri, R), self.PcTi) * self.D
+        return cmatmul(cmatmul(self.Pr, Y), self.PcT).reshape(shape)
 
 
 def fdm_preconditioner(

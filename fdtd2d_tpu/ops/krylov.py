@@ -22,6 +22,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from fdtd2d_tpu.ops.cplx import cdot, cnorm
+
 
 class GmresResult(NamedTuple):
     x: jax.Array
@@ -33,6 +35,24 @@ def _identity(r):
     return r
 
 
+def _ls_solve(H, rhs):
+    """min ||rhs - H y|| for small complex H via normal equations on the
+    real-block embedding (complex factorizations and even complex matmuls
+    are unimplemented on this TPU; H comes from Arnoldi so its condition
+    number is modest)."""
+    m = H.shape[1]
+    Hr, Hi = jnp.real(H), jnp.imag(H)
+    He = jnp.block([[Hr, -Hi], [Hi, Hr]])                    # (2(m+1), 2m)
+    ge = jnp.concatenate([jnp.real(rhs), jnp.imag(rhs)])
+    G = He.T @ He
+    g = He.T @ ge
+    # Tikhonov guard for breakdown columns (H column exactly zero)
+    G = G + jnp.eye(2 * m, dtype=G.dtype) * jnp.asarray(
+        jnp.finfo(G.dtype).eps, G.dtype) * jnp.max(jnp.abs(G))
+    y = jnp.linalg.solve(G, g)
+    return y[:m] + 1j * y[m:]
+
+
 def fgmres(matvec: Callable, b: jax.Array, minv: Optional[Callable] = None,
            *, x0: Optional[jax.Array] = None, restart: int = 40,
            maxiter: int = 2000, tol: float = 1e-6) -> GmresResult:
@@ -41,14 +61,14 @@ def fgmres(matvec: Callable, b: jax.Array, minv: Optional[Callable] = None,
         minv = _identity
     dtype = b.dtype
     m = restart
-    bnorm = jnp.linalg.norm(b)
+    bnorm = cnorm(b)
     x = jnp.zeros_like(b) if x0 is None else x0
     max_cycles = -(-maxiter // m)
 
     def cycle(state):
         x, _, it = state
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = cnorm(r)
         # Arnoldi on A M^{-1} with modified Gram-Schmidt.
         V = jnp.zeros((m + 1,) + b.shape, dtype)
         Z = jnp.zeros((m,) + b.shape, dtype)       # preconditioned basis M^{-1} v_j
@@ -62,11 +82,11 @@ def fgmres(matvec: Callable, b: jax.Array, minv: Optional[Callable] = None,
 
             def mgs(i, carry):
                 w, H = carry
-                hij = jnp.vdot(V[i], w)
-                return w - hij * V[i], H.at[i, j].set(hij)
+                hij = cdot(V[i], w)
+                return w - hij * V[i], H.at[i, j].set(hij.astype(dtype))
 
             w, H = jax.lax.fori_loop(0, j + 1, mgs, (w, H))
-            hn = jnp.linalg.norm(w)
+            hn = cnorm(w)
             H = H.at[j + 1, j].set(hn.astype(dtype))
             V = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
             Z = Z.at[j].set(z)
@@ -76,15 +96,16 @@ def fgmres(matvec: Callable, b: jax.Array, minv: Optional[Callable] = None,
 
         # Solve min ||beta e1 - H y|| (small dense LS).
         e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
-        y, *_ = jnp.linalg.lstsq(H, e1)
-        x = x + jnp.tensordot(y, Z, axes=1)
-        res = jnp.linalg.norm(b - matvec(x)) / bnorm
+        y = _ls_solve(H, e1).astype(dtype)
+        upd_shape = (slice(None),) + (None,) * (Z.ndim - 1)
+        x = x + jnp.sum(y[upd_shape] * Z, axis=0)
+        res = cnorm(b - matvec(x)) / bnorm
         return x, res, it + m
 
     def cond(state):
         _, res, it = state
         return jnp.logical_and(res > tol, it < max_cycles * m)
 
-    r0 = jnp.linalg.norm(b - matvec(x)) / jnp.where(bnorm == 0, 1.0, bnorm)
+    r0 = cnorm(b - matvec(x)) / jnp.where(bnorm == 0, 1.0, bnorm)
     x, res, it = jax.lax.while_loop(cond, cycle, (x, r0, jnp.asarray(0)))
     return GmresResult(x=x, relative_residual=res, iterations=it)

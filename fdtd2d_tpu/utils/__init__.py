@@ -1,0 +1,3 @@
+from fdtd2d_tpu.utils.metrics import Timer, throughput_gcells, trace_profile
+
+__all__ = ["Timer", "throughput_gcells", "trace_profile"]
