@@ -13,6 +13,32 @@ import jax
 import jax.numpy as jnp
 
 
+def to_device_complex(x, dtype=jnp.complex64) -> jax.Array:
+    """Host -> device transfer of a complex array via its real/imag parts.
+
+    Direct complex-array transfers intermittently hang or fail through this
+    environment's TPU tunnel; real transfers + an on-device ``lax.complex``
+    are reliable (and halve the bytes when downcasting c128 -> c64).
+    """
+    import numpy as np
+
+    x = np.asarray(x)
+    real = jnp.real(jnp.zeros((), dtype)).dtype
+    if not np.iscomplexobj(x):
+        z = jnp.asarray(x.astype(real))
+        return jax.lax.complex(z, jnp.zeros_like(z))
+    re = jnp.asarray(np.ascontiguousarray(x.real).astype(real))
+    im = jnp.asarray(np.ascontiguousarray(x.imag).astype(real))
+    return jax.lax.complex(re, im)
+
+
+def fetch_complex(x: jax.Array):
+    """Device -> host transfer of a complex array via its real/imag parts."""
+    import numpy as np
+
+    return np.asarray(jnp.real(x)) + 1j * np.asarray(jnp.imag(x))
+
+
 def cdot(a: jax.Array, b: jax.Array) -> jax.Array:
     """<a, b> = sum(conj(a) * b) without a complex dot_general."""
     ar, ai = jnp.real(a), jnp.imag(a)

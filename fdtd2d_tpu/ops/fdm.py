@@ -97,12 +97,14 @@ def fdm_preconditioner(
     lam_c, P_c, P_c_inv = _fdm_factors(Ny, float(dx), float(omega),
                                        pml_thickness, sigma_max, m, float(mu_ref))
     denom = lam_r[:, None] + lam_c[None, :] - omega**2 * eps_ref
+    from fdtd2d_tpu.ops.cplx import to_device_complex as tdc
+
     return FDMPreconditioner(
-        Pr=jnp.asarray(P_r, dtype),
-        Pri=jnp.asarray(P_r_inv, dtype),
-        PcT=jnp.asarray(P_c.T, dtype),
-        PcTi=jnp.asarray(P_c_inv.T, dtype),  # (P_c^T)^{-1} = (P_c^{-1})^T
-        D=jnp.asarray(1.0 / denom, dtype),
+        Pr=tdc(P_r, dtype),
+        Pri=tdc(P_r_inv, dtype),
+        PcT=tdc(P_c.T, dtype),
+        PcTi=tdc(P_c_inv.T, dtype),  # (P_c^T)^{-1} = (P_c^{-1})^T
+        D=tdc(1.0 / denom, dtype),
     )
 
 

@@ -136,12 +136,14 @@ def make_operator(eps, mu, dx, dy, omega, pml_thickness: int = 40,
     mu = jnp.asarray(mu)
     Nx, Ny = eps.shape
     s_r, s_c = stretch_factors(Nx, Ny, float(omega), pml_thickness, sigma_max, m)
+    from fdtd2d_tpu.ops.cplx import to_device_complex as tdc
+
     real = jnp.real(jnp.zeros((), dtype)).dtype
     return HelmholtzOperator(
         eps=eps.astype(real),
         inv_mu=(1.0 / mu).astype(real),
-        inv_s_row=jnp.asarray(1.0 / s_r, dtype),
-        inv_s_col=jnp.asarray(1.0 / s_c, dtype),
+        inv_s_row=tdc(1.0 / s_r, dtype),
+        inv_s_col=tdc(1.0 / s_c, dtype),
         omega=jnp.asarray(omega, real),
         inv_2dx=jnp.asarray(1.0 / (2.0 * dx), real),
         inv_2dy=jnp.asarray(1.0 / (2.0 * dy), real),
