@@ -64,7 +64,9 @@ def cmd_fdfd(args):
     res = run_fdfd(eps, mu, args.dx, args.dx, args.omega, source,
                    rhs_scale=args.omega,  # reference driver convention (fdfd.py:112)
                    tol=args.tol, maxiter=args.maxiter)
-    Ez = np.real(np.asarray(res.x))
+    import jax.numpy as jnp
+
+    Ez = np.asarray(jnp.real(res.x))
     print(f"relative residual: {float(res.relative_residual):.3e}")
     if args.out:
         m = float(np.abs(Ez).max()) or 1.0
@@ -84,7 +86,9 @@ def cmd_tiled(args):
         patch_size=args.patch_size, padding=args.padding, verbose=True)
     print(f"convergence trace: {[f'{t:.2e}' for t in trace]}")
     if args.out:
-        Ez = np.real(np.asarray(sol))
+        import jax.numpy as jnp
+
+        Ez = np.asarray(jnp.real(sol))
         m = float(np.abs(Ez).max()) or 1.0
         plot_Ez(Ez, eps, args.out, vmax=m, vmin=-m)
         print(f"wrote {args.out}")

@@ -165,7 +165,13 @@ def run_fdfd(eps, mu, dx, dy, omega, source, *, pml_thickness: int = 40,
     plain driver used ``omega`` and inverse design ``+1j*omega`` — pass those
     explicitly for driver parity.
     """
+    import numpy as np
+
+    from fdtd2d_tpu.ops.cplx import to_device_complex
+
     op = make_operator(eps, mu, dx, dy, omega, pml_thickness, sigma_max, m, dtype)
-    scale = (-1j * op.omega) if rhs_scale is None else rhs_scale
-    b = jnp.asarray(source).astype(dtype) * scale
+    scale = (-1j * float(omega)) if rhs_scale is None else complex(rhs_scale)
+    # host-side RHS assembly: eager 0-d complex scalars are unimplemented on
+    # this TPU backend (see ops/cplx.py)
+    b = to_device_complex(np.asarray(source, np.complex128) * scale, dtype)
     return solve_fdfd(op, b, **solve_kwargs)

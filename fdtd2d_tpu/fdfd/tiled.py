@@ -169,8 +169,10 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                            eps_ref=float(np.mean(eps)),
                            mu_ref=1.0 / float(np.mean(1.0 / mu)), dtype=dtype)
 
+    from fdtd2d_tpu.ops.cplx import to_device_complex as _tdc
+
     rhs = jnp.stack([
-        jnp.asarray(-1j * omega * source[x0 : x0 + W, y0 : y0 + W], dtype)
+        _tdc(-1j * omega * source[x0 : x0 + W, y0 : y0 + W].astype(np.complex128), dtype)
         for (x0, y0) in origins
     ])
 
@@ -200,7 +202,9 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
     if mode == "krylov":
         gop = make_operator(eps, mu, dx, dy, float(omega),
                             pml_thickness=global_pml_thickness, dtype=dtype)
-        b = jnp.asarray(-1j * omega * source, dtype)
+        from fdtd2d_tpu.ops.cplx import to_device_complex as _tdc2
+
+        b = _tdc2(-1j * omega * source.astype(np.complex128), dtype)
         origins_j = [(int(x0), int(y0)) for x0, y0 in origins]
 
         # RAS subdomain operators = RESTRICTIONS of the global operator

@@ -88,7 +88,7 @@ def make_operator_traced(eps, mu, dx, dy, omega, pml_thickness: int,
     sig_c = jnp.asarray(pml_sigma_profile(Ny, pml_thickness, sigma_max, m))
     s_r = 1.0 + 1j * sig_r / (omega * constants.EPSILON_0)
     s_c = 1.0 + 1j * sig_c / (omega * constants.EPSILON_0)
-    real = jnp.real(jnp.zeros((), dtype)).dtype
+    real = jnp.finfo(dtype).dtype
     return HelmholtzOperator(
         eps=jnp.asarray(eps, real), inv_mu=(1.0 / jnp.asarray(mu)).astype(real),
         inv_s_row=(1.0 / s_r).astype(dtype), inv_s_col=(1.0 / s_c).astype(dtype),

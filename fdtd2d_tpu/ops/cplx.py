@@ -9,6 +9,8 @@ contractions (which also land on the MXU, where the FLOPs belong).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -23,7 +25,8 @@ def to_device_complex(x, dtype=jnp.complex64) -> jax.Array:
     import numpy as np
 
     x = np.asarray(x)
-    real = jnp.real(jnp.zeros((), dtype)).dtype
+    real = jnp.finfo(dtype).dtype  # host-side (0-d complex device arrays are
+    # unimplemented on this TPU backend and poison the process)
     if not np.iscomplexobj(x):
         z = jnp.asarray(x.astype(real))
         return jax.lax.complex(z, jnp.zeros_like(z))
@@ -56,11 +59,16 @@ def cnorm(a: jax.Array) -> jax.Array:
 
 
 def cmatmul(A: jax.Array, B: jax.Array) -> jax.Array:
-    """A @ B via four real matmuls when either operand is complex."""
+    """A @ B via four real matmuls when either operand is complex.
+
+    Uses HIGHEST matmul precision: the TPU default runs f32 matmuls through
+    bf16 passes, which destroys preconditioner quality and Krylov recurrences.
+    """
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
     if not (jnp.iscomplexobj(A) or jnp.iscomplexobj(B)):
-        return A @ B
+        return mm(A, B)
     Ar, Ai = jnp.real(A), jnp.imag(A)
     Br, Bi = jnp.real(B), jnp.imag(B)
-    re = Ar @ Br - Ai @ Bi
-    im = Ar @ Bi + Ai @ Br
+    re = mm(Ar, Br) - mm(Ai, Bi)
+    im = mm(Ar, Bi) + mm(Ai, Br)
     return jax.lax.complex(re, im)

@@ -138,7 +138,10 @@ def make_operator(eps, mu, dx, dy, omega, pml_thickness: int = 40,
     s_r, s_c = stretch_factors(Nx, Ny, float(omega), pml_thickness, sigma_max, m)
     from fdtd2d_tpu.ops.cplx import to_device_complex as tdc
 
-    real = jnp.real(jnp.zeros((), dtype)).dtype
+    # NOTE: do not write jnp.real(jnp.zeros((), dtype)) here — materializing
+    # a 0-d complex array is UNIMPLEMENTED on this TPU backend and the first
+    # failure poisons every subsequent dispatch in the process.
+    real = jnp.finfo(dtype).dtype
     return HelmholtzOperator(
         eps=eps.astype(real),
         inv_mu=(1.0 / mu).astype(real),

@@ -5,13 +5,18 @@ preconditioned complex-symmetric Helmholtz system (returns x=0), and because
 the sharded solver (fdtd2d_tpu/parallel/) needs full control over where the
 global reductions (dot products) happen.
 
-Right preconditioning solves A M^{-1} u = b, x = M^{-1} u, so the convergence
-test is on the TRUE residual ||b - A x||, independent of the preconditioner's
-scaling. Arnoldi uses modified Gram-Schmidt; the small least-squares problem
-is solved densely per cycle (restart <= ~64, negligible cost next to the
-stencil applies).
+Numerics (matter in float32/complex64 on TPU):
+- modified Gram-Schmidt with one reorthogonalization pass (MGS2) -- single-
+  pass MGS loses orthogonality and stalls the restart cycles in f32,
+- the small least-squares problem is solved by incremental complex Givens
+  rotations (QR), not normal equations (which square the condition number),
+- complex contractions are expressed through real ones (ops/cplx) and small
+  matmuls run at HIGHEST precision (the TPU default is bf16 passes).
 
-Works on any pytree-shaped field x (here: (Nx, Ny) complex arrays).
+Right preconditioning solves A M^{-1} u = b, x = M^{-1} u, so convergence is
+measured on the TRUE residual, independent of the preconditioner\'s scaling.
+Since the preconditioned vectors Z_j are stored (flexible GMRES), variable/
+nonlinear preconditioners are also supported.
 """
 
 from __future__ import annotations
@@ -35,27 +40,10 @@ def _identity(r):
     return r
 
 
-def _ls_solve(H, rhs):
-    """min ||rhs - H y|| for small complex H via normal equations on the
-    real-block embedding (complex factorizations and even complex matmuls
-    are unimplemented on this TPU; H comes from Arnoldi so its condition
-    number is modest)."""
-    m = H.shape[1]
-    Hr, Hi = jnp.real(H), jnp.imag(H)
-    He = jnp.block([[Hr, -Hi], [Hi, Hr]])                    # (2(m+1), 2m)
-    ge = jnp.concatenate([jnp.real(rhs), jnp.imag(rhs)])
-    G = He.T @ He
-    g = He.T @ ge
-    # Tikhonov guard for breakdown columns (H column exactly zero)
-    G = G + jnp.eye(2 * m, dtype=G.dtype) * jnp.asarray(
-        jnp.finfo(G.dtype).eps, G.dtype) * jnp.max(jnp.abs(G))
-    y = jnp.linalg.solve(G, g)
-    return y[:m] + 1j * y[m:]
-
-
 def fgmres(matvec: Callable, b: jax.Array, minv: Optional[Callable] = None,
            *, x0: Optional[jax.Array] = None, restart: int = 40,
-           maxiter: int = 2000, tol: float = 1e-6) -> GmresResult:
+           maxiter: int = 2000, tol: float = 1e-6,
+           reorthogonalize: bool = True) -> GmresResult:
     """Solve A x = b with restarted right-preconditioned GMRES(restart)."""
     if minv is None:
         minv = _identity
@@ -69,36 +57,67 @@ def fgmres(matvec: Callable, b: jax.Array, minv: Optional[Callable] = None,
         x, _, it = state
         r = b - matvec(x)
         beta = cnorm(r)
-        # Arnoldi on A M^{-1} with modified Gram-Schmidt.
         V = jnp.zeros((m + 1,) + b.shape, dtype)
-        Z = jnp.zeros((m,) + b.shape, dtype)       # preconditioned basis M^{-1} v_j
-        H = jnp.zeros((m + 1, m), dtype)
+        Z = jnp.zeros((m,) + b.shape, dtype)      # preconditioned basis M^{-1} v_j
+        # Givens-updated QR of the Hessenberg: R (m x m), rhs g (m+1,)
+        R = jnp.zeros((m, m), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
         V = V.at[0].set(r / jnp.where(beta == 0, 1.0, beta))
 
         def arnoldi(j, carry):
-            V, Z, H = carry
+            V, Z, R, g, cs, sn = carry
             z = minv(V[j])
             w = matvec(z)
 
             def mgs(i, carry):
-                w, H = carry
+                w, h = carry
                 hij = cdot(V[i], w)
-                return w - hij * V[i], H.at[i, j].set(hij.astype(dtype))
+                return w - hij * V[i], h.at[i].set(h[i] + hij.astype(dtype))
 
-            w, H = jax.lax.fori_loop(0, j + 1, mgs, (w, H))
+            h = jnp.zeros((m + 1,), dtype)
+            w, h = jax.lax.fori_loop(0, j + 1, mgs, (w, h))
+            if reorthogonalize:
+                w, h = jax.lax.fori_loop(0, j + 1, mgs, (w, h))
             hn = cnorm(w)
-            H = H.at[j + 1, j].set(hn.astype(dtype))
+            h = h.at[j + 1].set(hn.astype(dtype))
             V = V.at[j + 1].set(w / jnp.where(hn == 0, 1.0, hn))
             Z = Z.at[j].set(z)
-            return V, Z, H
 
-        V, Z, H = jax.lax.fori_loop(0, m, arnoldi, (V, Z, H))
+            # apply the accumulated Givens rotations to the new column
+            def rot(i, h):
+                hi = cs[i] * h[i] + sn[i] * h[i + 1]
+                hi1 = -jnp.conj(sn[i]) * h[i] + jnp.conj(cs[i]) * h[i + 1]
+                return h.at[i].set(hi).at[i + 1].set(hi1)
 
-        # Solve min ||beta e1 - H y|| (small dense LS).
-        e1 = jnp.zeros((m + 1,), dtype).at[0].set(beta.astype(dtype))
-        y = _ls_solve(H, e1).astype(dtype)
-        upd_shape = (slice(None),) + (None,) * (Z.ndim - 1)
-        x = x + jnp.sum(y[upd_shape] * Z, axis=0)
+            h = jax.lax.fori_loop(0, j, rot, h)
+            # new rotation annihilating h[j+1]
+            a, c = h[j], h[j + 1]
+            denom = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(c) ** 2)
+            safe = jnp.where(denom == 0, 1.0, denom)
+            cj = jnp.where(denom == 0, jnp.asarray(1.0, dtype), jnp.conj(a) / safe)
+            sj = jnp.where(denom == 0, jnp.asarray(0.0, dtype), jnp.conj(c) / safe)
+            h = h.at[j].set(cj * a + sj * c).at[j + 1].set(0.0)
+            gj = g[j]
+            g = g.at[j].set(cj * gj).at[j + 1].set(-jnp.conj(sj) * gj)
+            R = R.at[:, j].set(h[:m])
+            return V, Z, R, g, cs.at[j].set(cj), sn.at[j].set(sj)
+
+        V, Z, R, g, cs, sn = jax.lax.fori_loop(0, m, arnoldi,
+                                               (V, Z, R, g, cs, sn))
+
+        # back-substitution R y = g[:m]
+        def back(k, y):
+            j = m - 1 - k
+            num = g[j] - jnp.sum(R[j, :] * y) + R[j, j] * y[j]
+            rjj = R[j, j]
+            safe = jnp.where(jnp.abs(rjj) == 0, 1.0, rjj)
+            return y.at[j].set(jnp.where(jnp.abs(rjj) == 0, 0.0, num / safe))
+
+        y = jax.lax.fori_loop(0, m, back, jnp.zeros((m,), dtype))
+        upd = (slice(None),) + (None,) * (Z.ndim - 1)
+        x = x + jnp.sum(y[upd] * Z, axis=0)
         res = cnorm(b - matvec(x)) / bnorm
         return x, res, it + m
 
