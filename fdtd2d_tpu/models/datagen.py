@@ -107,6 +107,13 @@ def generate_batch(key, *, batch: int, shape: Tuple[int, int], dx: float = 1e-3,
     ``M``: optional shared FDM preconditioner (built at a representative
     mid-band omega — per-sample omegas differ, so it is approximate, which
     only costs Krylov iterations, not correctness).
+
+    Note on label accuracy: the reference's datagen scenes (5x binary
+    contrast at 18-30 GHz on dx=1mm) are under-resolved — ~4.5 cells per
+    wavelength at the top of the band, violating the lambda/10 rule the
+    reference itself enforces elsewhere (fdfd.py:97-105). Krylov residuals
+    of ~1e-2 on such scenes sit far below their discretization error; the
+    per-sample residuals are returned so callers can filter if desired.
     """
     keys = jax.random.split(key, batch)
 
