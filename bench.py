@@ -24,7 +24,7 @@ def main():
 
     on_tpu = any(d.platform == "tpu" for d in jax.devices())
     N = 2048 if on_tpu else 512
-    steps = 1000 if on_tpu else 50
+    steps = 2000 if on_tpu else 50
 
     eps = np.full((N, N), constants.EPSILON_0, np.float32)
     eps[N // 4 : N // 2, N // 4 : N // 3] *= 4.0
@@ -44,7 +44,7 @@ def main():
     # unreliable for aliased ANY-memory-space pallas outputs)
 
     best = 0.0
-    for _ in range(3):
+    for _ in range(4):
         t0 = time.perf_counter()
         (Ez, Hx, Hy), _ = simulate(eps, mu, cfg, state=(Ez, Hx, Hy))
         float(jnp.max(jnp.abs(Ez)))
@@ -61,4 +61,23 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the TPU tunnel in this environment occasionally fails transiently;
+    # a failed attempt poisons the process, so retry in a fresh interpreter
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("FDTD2D_BENCH_CHILD") == "1":
+        main()
+    else:
+        env = dict(os.environ, FDTD2D_BENCH_CHILD="1")
+        for attempt in range(3):
+            proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                  env=env, capture_output=True, text=True)
+            lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])
+                break
+        else:
+            sys.stderr.write(proc.stdout + proc.stderr)
+            sys.exit(1)
