@@ -1,0 +1,45 @@
+"""Reference workflow 3: tiled (domain-decomposed) vs direct solve comparison.
+
+Mirrors the reference's tiled-solver validation (reference: README.md:131-134
+and python-src/tiled_solver.py): solve the same scene with the global solver
+and with the tiled Schwarz machinery, and render both fields plus the error.
+
+Run: python examples/tiled_vs_direct.py
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fdtd2d_tpu import constants
+from fdtd2d_tpu.fdfd import run_fdfd
+from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled
+from fdtd2d_tpu.viz import plot_Ez
+from fdtd2d_tpu.viz.plots import plot_ref_v_inference
+
+
+def main():
+    N, dx, omega = 512, 1e-3, 17e9
+    eps = np.full((N, N), constants.EPSILON_0)
+    eps[180:330, 140:240] *= 2.5
+    mu = np.full((N, N), constants.MU_0)
+    source = np.zeros((N, N), np.float32)
+    source[N // 2, N // 2] = 10.0
+
+    direct = run_fdfd(eps, mu, dx, dx, omega, source, tol=1e-6, maxiter=600)
+    print(f"global solve residual: {float(direct.relative_residual):.2e}")
+
+    tiled, trace = run_fdfd_tiled(eps, mu, dx, dx, omega, source,
+                                  patch_size=100, padding=30, mode="krylov",
+                                  solver_tol=1e-6, solver_maxiter=600)
+    print(f"tiled (krylov) residual: {trace[-1]:.2e}")
+
+    a = np.asarray(jnp.real(direct.x))
+    b = np.asarray(jnp.real(tiled))
+    err = np.abs(a - b).max() / np.abs(a).max()
+    print(f"tiled vs direct relative field error: {err:.2e}")
+    plot_ref_v_inference(a, b, "tiled_vs_direct.png")
+    print("wrote tiled_vs_direct.png")
+
+
+if __name__ == "__main__":
+    main()
