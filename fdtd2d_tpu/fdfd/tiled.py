@@ -176,7 +176,9 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
         for (x0, y0) in origins
     ])
 
-    solution = jnp.zeros((Nx, Ny), dtype)
+    from fdtd2d_tpu.ops.cplx import czeros
+
+    solution = czeros((Nx, Ny), dtype)
 
     # RAS ownership: each cell belongs to the patch (among those whose
     # interior covers it) with the nearest window center.
@@ -258,7 +260,7 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
         o_idx = jnp.asarray(np.maximum(owner2, 0))
         o_lx = jnp.asarray(gx - origins[:, 0][np.maximum(owner2, 0)])
         o_ly = jnp.asarray(gy - origins[:, 1][np.maximum(owner2, 0)])
-        zero_bc = jnp.zeros((P, W, W), dtype)
+        zero_bc = czeros((P, W, W), dtype)
 
         def ras(r):
             r2 = r.reshape(Nx, Ny)
@@ -267,10 +269,14 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
             ])
             sols = _solve_patches_batched(ops_k, Mk, edges, zero_bc, rloc,
                                            1e-12, inner_iters)
-            return sols[o_idx, o_lx, o_ly]
+            from fdtd2d_tpu.ops.cplx import cgather
 
-        out = fgmres(gop.apply, b, ras, restart=30,
-                     maxiter=solver_maxiter, tol=solver_tol)
+            return cgather(sols, o_idx, o_lx, o_ly)
+
+        solve_global = jax.jit(lambda bb: fgmres(
+            gop.apply, bb, ras, restart=30, maxiter=solver_maxiter,
+            tol=solver_tol))
+        out = solve_global(b)
         if verbose:
             print(f"krylov tiled: res={float(out.relative_residual):.3e} "
                   f"iters={int(out.iterations)}")
@@ -292,8 +298,10 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
             # Restricted Additive Schwarz write-back: each cell is owned by
             # exactly one patch (nearest window center) — a partition of
             # unity, which converges far better than overlap-averaging.
+            from fdtd2d_tpu.ops.cplx import cgather
+
             new = jnp.where(owner_valid,
-                            sols[owner_idx, owner_lx, owner_ly], solution)
+                            cgather(sols, owner_idx, owner_lx, owner_ly), solution)
             max_delta = float(jnp.max(jnp.abs(new - solution)))
             solution = (1.0 - relax) * solution + relax * new
         else:  # multiplicative: reference's sequential source-outward order

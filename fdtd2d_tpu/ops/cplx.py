@@ -35,6 +35,22 @@ def to_device_complex(x, dtype=jnp.complex64) -> jax.Array:
     return jax.lax.complex(re, im)
 
 
+def cgather(a: jax.Array, *idx) -> jax.Array:
+    """Fancy-index a complex array via separate real/imag gathers (complex
+    gather is unimplemented on this TPU backend)."""
+    if not jnp.iscomplexobj(a):
+        return a[tuple(idx)]
+    return jax.lax.complex(jnp.real(a)[tuple(idx)], jnp.imag(a)[tuple(idx)])
+
+
+def czeros(shape, dtype=jnp.complex64) -> jax.Array:
+    """Eager complex zeros via lax.complex of real zeros (eager complex
+    constants are unimplemented on this TPU backend outside jit)."""
+    real = jnp.finfo(dtype).dtype
+    z = jnp.zeros(shape, real)
+    return jax.lax.complex(z, z)
+
+
 def fetch_complex(x: jax.Array):
     """Device -> host transfer of a complex array via its real/imag parts."""
     import numpy as np
