@@ -112,8 +112,10 @@ def make_response_fn(problem: InverseDesignProblem, dtype=jnp.complex64):
         return jnp.mean(jnp.abs(x)[pr, pc])
 
     @jax.jit
-    def responses(design):
-        # design lives in relative units in [1, 3] (reference clip bounds);
+    def _responses(design, ops, Ms):
+        # complex arrays enter as jit ARGUMENTS (closure-captured complex
+        # constants become HLO literals — unimplemented on this TPU backend);
+        # design lives in relative units in [1, 3] (reference clip bounds),
         # the scene stores absolute permittivity.
         from fdtd2d_tpu import constants
 
@@ -123,11 +125,23 @@ def make_response_fn(problem: InverseDesignProblem, dtype=jnp.complex64):
         return jax.vmap(one_freq, in_axes=(0, 0, None, 0))(ops, Ms, eps, bs)
 
     @jax.jit
-    def loss(design):
-        r = responses(design)
+    def _loss(design, ops, Ms):
+        r = _responses(design, ops, Ms)
         r = r / jnp.max(r)
         return jnp.mean((r - ideal) ** 2)
 
+    _vag = jax.jit(jax.value_and_grad(_loss))
+
+    def responses(design):
+        return _responses(design, ops, Ms)
+
+    def loss(design):
+        return _loss(design, ops, Ms)
+
+    def loss_and_grad(design):
+        return _vag(design, ops, Ms)
+
+    loss.value_and_grad = loss_and_grad
     return responses, loss
 
 
@@ -154,7 +168,7 @@ def optimize(problem: InverseDesignProblem, *, steps: int = 100, lr: float = 0.0
 
     tx = optax.adam(lr) if optimizer == "adam" else optax.sgd(lr)
     opt_state = tx.init(design)
-    grad_fn = jax.jit(jax.value_and_grad(loss))
+    grad_fn = loss.value_and_grad  # ops/Ms ride as jit arguments
 
     @jax.jit
     def update(design, opt_state, g):

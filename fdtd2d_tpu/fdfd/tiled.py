@@ -262,21 +262,30 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
         o_ly = jnp.asarray(gy - origins[:, 1][np.maximum(owner2, 0)])
         zero_bc = czeros((P, W, W), dtype)
 
-        def ras(r):
-            r2 = r.reshape(Nx, Ny)
-            rloc = jnp.stack([
-                jax.lax.dynamic_slice(r2, (x0, y0), (W, W)) for x0, y0 in origins_j
-            ])
-            sols = _solve_patches_batched(ops_k, Mk, edges, zero_bc, rloc,
-                                           1e-12, inner_iters)
-            from fdtd2d_tpu.ops.cplx import cgather
+        from fdtd2d_tpu.ops.cplx import cgather
 
-            return cgather(sols, o_idx, o_lx, o_ly)
+        @partial(jax.jit, static_argnames=("maxiter", "tol", "inner"))
+        def solve_global(bb, gop, ops_k, Mk, edges, zero_bc, o_idx, o_lx, o_ly,
+                         *, maxiter, tol, inner):
+            # complex arrays must be jit ARGUMENTS on this backend — complex
+            # closure constants become HLO literals, which are unimplemented
 
-        solve_global = jax.jit(lambda bb: fgmres(
-            gop.apply, bb, ras, restart=30, maxiter=solver_maxiter,
-            tol=solver_tol))
-        out = solve_global(b)
+            def ras(r):
+                r2 = r.reshape(Nx, Ny)
+                rloc = jnp.stack([
+                    jax.lax.dynamic_slice(r2, (x0, y0), (W, W))
+                    for x0, y0 in origins_j
+                ])
+                sols = _solve_patches_batched(ops_k, Mk, edges, zero_bc, rloc,
+                                              1e-12, inner)
+                return cgather(sols, o_idx, o_lx, o_ly)
+
+            return fgmres(gop.apply, bb, ras, restart=30, maxiter=maxiter,
+                          tol=tol)
+
+        out = solve_global(b, gop, ops_k, Mk, edges, zero_bc, o_idx, o_lx, o_ly,
+                           maxiter=solver_maxiter, tol=solver_tol,
+                           inner=inner_iters)
         if verbose:
             print(f"krylov tiled: res={float(out.relative_residual):.3e} "
                   f"iters={int(out.iterations)}")
@@ -284,7 +293,7 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
 
     solve = jax.jit(partial(_solve_patches_batched, tol=solver_tol,
                             maxiter=solver_maxiter))
-    solve_one = jax.jit(lambda op, bc, b: _solve_patches_batched(
+    solve_one = jax.jit(lambda op, M, ring, bc, b: _solve_patches_batched(
         jax.tree.map(lambda x: x[None], op), M, ring[None], bc[None], b[None],
         solver_tol, solver_maxiter)[0])
 
@@ -309,7 +318,8 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
             for p in order:
                 x0, y0 = origins[p]
                 bc = solution[x0 : x0 + W, y0 : y0 + W]
-                sol = solve_one(jax.tree.map(lambda x: x[p], ops_stacked), bc, rhs[p])
+                sol = solve_one(jax.tree.map(lambda x: x[p], ops_stacked),
+                                M, ring, bc, rhs[p])
                 h2 = halo + RING_WIDTH
                 tgt = solution[x0 + h2 : x0 + W - h2, y0 + h2 : y0 + W - h2]
                 new = sol[inner, inner]
