@@ -29,10 +29,11 @@ than the XLA-fused jax path (5.6), so `simulate(backend="auto")` does NOT
 select this kernel yet. Measured causes: (a) manual pallas DMA reaches only
 ~43 GB/s on this stack (an empty load+store sweep gets 130 GB/s aggregate,
 one 64 MB copy 43 GB/s) while XLA's own fused loads run at ~320 GB/s;
-(b) ~250 us fixed overhead per pallas_call inside a scan. The planned v3
-uses BlockSpec-pipelined shifted views (ghost-block trick: pass ez three
-times with index maps i-1/i/i+1 in block units) so Mosaic's automatic
-pipeline does the DMA, which is the fast path on this hardware.
+(b) ~250 us fixed overhead per pallas_call inside a scan. A BlockSpec-
+pipelined copy probe measures 154 GB/s (BH=512) — better than manual DMA but
+still under XLA's fused path, so a pipelined shifted-view v3 would also lose
+to the jax backend on this stack; >VMEM grids stay on the XLA path until the
+pallas DMA path improves.
 """
 
 from __future__ import annotations
