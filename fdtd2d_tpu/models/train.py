@@ -174,4 +174,8 @@ def train(key, data: dict, config: TrainConfig,
             callback(epoch, losses[-1], state)
         if config.ckpt_dir and (epoch + 1) % config.ckpt_every == 0:
             save_checkpoint(config.ckpt_dir, state, epoch)
+    # always persist the final state (the reference only saved every 10
+    # epochs, so short runs produced nothing restorable)
+    if config.ckpt_dir and config.num_epochs > start_epoch:
+        save_checkpoint(config.ckpt_dir, state, config.num_epochs - 1)
     return state, losses
