@@ -1,6 +1,6 @@
 from fdtd2d_tpu.fdtd.reference import numpy_step, numpy_simulate
 from fdtd2d_tpu.fdtd.step import fdtd_step, mur_coefficient
-from fdtd2d_tpu.fdtd.simulate import simulate, FDTDConfig
+from fdtd2d_tpu.fdtd.simulate import simulate, simulate_batched, FDTDConfig
 
 __all__ = [
     "numpy_step",
@@ -8,5 +8,6 @@ __all__ = [
     "fdtd_step",
     "mur_coefficient",
     "simulate",
+    "simulate_batched",
     "FDTDConfig",
 ]

@@ -150,3 +150,60 @@ def simulate(eps, mu, config: FDTDConfig, state=None):
                 nsteps=config.nsteps, source_kind=config.source_kind,
                 backend=backend, nframes=nframes,
                 steps_per_frame=steps_per_frame)
+
+
+def simulate_batched(eps_batch, mu_batch, config: FDTDConfig, sources_xy=None):
+    """vmap-batched FDTD rollouts over a batch of scenes (surrogate datagen
+    and parameter sweeps; the reference loops one simulation at a time).
+
+    ``eps_batch``/``mu_batch``: (B, N, M); ``sources_xy``: optional (B, 2)
+    int array of per-scene injection sites (defaults to config.source_xy).
+    Uses the pure-JAX step (vmap over the Pallas kernel is not supported);
+    returns ``(Ez, Hx, Hy)`` batched fields and batched snapshots (or None).
+    """
+    cfg = dataclasses.replace(config, backend="jax")
+    eps_batch = jnp.asarray(eps_batch, cfg.dtype)
+    mu_batch = jnp.asarray(mu_batch, cfg.dtype)
+    B = eps_batch.shape[0]
+    if sources_xy is None:
+        sources_xy = jnp.tile(jnp.asarray(config.source_xy, jnp.int32)[None], (B, 1))
+    else:
+        sources_xy = jnp.asarray(sources_xy, jnp.int32)
+
+    rows, cols = eps_batch.shape[1:]
+    dt = jnp.asarray(cfg.dt, cfg.dtype)
+    fc = jnp.asarray(cfg.source_fc, cfg.dtype)
+    if cfg.nframes > 0:
+        steps_per_frame = max(cfg.nsteps // cfg.nframes, 1)
+        nframes = cfg.nsteps // steps_per_frame
+    else:
+        steps_per_frame, nframes = 0, 0
+
+    def one(eps, mu, sxy):
+        ce, ch, coef = precompute_coefficients(eps, mu, cfg.dt, cfg.dx, cfg.dtype)
+        Ez = jnp.zeros((rows, cols), cfg.dtype)
+        Hx = jnp.zeros((rows, cols - 1), cfg.dtype)
+        Hy = jnp.zeros((rows - 1, cols), cfg.dtype)
+
+        def advance(Ez, Hx, Hy, nsteps, offset):
+            def body(i, c):
+                Ez, Hx, Hy = c
+                Ez, Hx, Hy = fdtd_step(Ez, Hx, Hy, ce, ch, coef)
+                t = (offset + i).astype(cfg.dtype) * dt
+                amp = _source_amp(cfg.source_kind, t, fc)
+                return Ez.at[sxy[0], sxy[1]].add(amp.astype(Ez.dtype)), Hx, Hy
+
+            return jax.lax.fori_loop(0, nsteps, body, (Ez, Hx, Hy))
+
+        if nframes <= 0:
+            return advance(Ez, Hx, Hy, cfg.nsteps, jnp.int32(0)), None
+
+        def frame(carry, k):
+            Ez, Hx, Hy = carry
+            Ez, Hx, Hy = advance(Ez, Hx, Hy, steps_per_frame, k * steps_per_frame)
+            return (Ez, Hx, Hy), Ez
+
+        (Ez, Hx, Hy), snaps = jax.lax.scan(frame, (Ez, Hx, Hy), jnp.arange(nframes))
+        return (Ez, Hx, Hy), snaps
+
+    return jax.jit(jax.vmap(one))(eps_batch, mu_batch, sources_xy)

@@ -116,3 +116,21 @@ def test_snapshot_frames_match_streamed_rollout():
     ref = numpy_simulate(eps, mu, DT, DX, 50, (32, 32), 30e9)
     mid = np.asarray(snaps[4], np.float64)
     assert np.max(np.abs(mid - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_simulate_batched_matches_per_scene():
+    from fdtd2d_tpu.fdtd.simulate import simulate_batched
+
+    rows = cols = 48
+    eps1 = np.full((rows, cols), constants.EPSILON_0)
+    eps2 = eps1.copy(); eps2[10:20, 10:20] *= 3.0
+    mu = np.full((rows, cols), constants.MU_0)
+    cfg = FDTDConfig(dt=DT, dx=DX, nsteps=60, source_xy=(24, 24), source_fc=30e9,
+                     backend="jax")
+    (Ezb, _, _), _ = simulate_batched(np.stack([eps1, eps2]),
+                                      np.stack([mu, mu]), cfg,
+                                      sources_xy=[(24, 24), (20, 28)])
+    ref1 = numpy_simulate(eps1, mu, DT, DX, 60, (24, 24), 30e9)
+    ref2 = numpy_simulate(eps2, mu, DT, DX, 60, (20, 28), 30e9)
+    for got, ref in zip(np.asarray(Ezb, np.float64), (ref1, ref2)):
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
