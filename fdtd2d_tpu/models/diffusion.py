@@ -24,12 +24,15 @@ import jax
 import jax.numpy as jnp
 
 
-def cosine_beta_schedule(num_timesteps: int = 1000, max_beta: float = 0.999) -> jnp.ndarray:
-    """'squaredcos_cap_v2' betas (diffusers parity)."""
+def cosine_beta_schedule(num_timesteps: int = 1000, max_beta: float = 0.999,
+                         dtype=jnp.float64) -> jnp.ndarray:
+    """'squaredcos_cap_v2' betas (diffusers parity; computed at highest
+    available precision, stored at ``dtype``)."""
     u = jnp.arange(num_timesteps + 1) / num_timesteps
     abar = jnp.cos(((u + 0.008) / 1.008) * jnp.pi / 2) ** 2
     betas = 1.0 - abar[1:] / abar[:-1]
-    return jnp.clip(betas, 0.0, max_beta)
+    return jnp.clip(betas, 0.0, max_beta).astype(
+        jnp.zeros((), dtype).dtype if jnp.issubdtype(dtype, jnp.floating) else dtype)
 
 
 @jax.tree_util.register_dataclass
@@ -39,9 +42,10 @@ class DDPMSchedule:
     alphas_cumprod: jax.Array
 
     @staticmethod
-    def create(num_timesteps: int = 1000) -> "DDPMSchedule":
-        betas = cosine_beta_schedule(num_timesteps)
-        return DDPMSchedule(betas=betas, alphas_cumprod=jnp.cumprod(1.0 - betas))
+    def create(num_timesteps: int = 1000, dtype=jnp.float32) -> "DDPMSchedule":
+        betas = cosine_beta_schedule(num_timesteps, dtype=dtype)
+        return DDPMSchedule(betas=betas,
+                            alphas_cumprod=jnp.cumprod(1.0 - betas).astype(betas.dtype))
 
     @property
     def num_timesteps(self) -> int:
@@ -113,7 +117,7 @@ def sample(schedule: DDPMSchedule, apply_fn, key, eps, mu, src, omega,
     ts = schedule.inference_timesteps(num_inference_steps)
     ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1])])
     key, k0 = jax.random.split(key)
-    x = jax.random.normal(k0, eps.shape)
+    x = jax.random.normal(k0, eps.shape, eps.dtype)
 
     def body(carry, tt):
         x, key = carry

@@ -65,7 +65,7 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
     k_t, k_noise = jax.random.split(key)
     B = batch["Ez"].shape[0]
     t = importance_sample_timesteps(schedule, k_t, B, gamma=t_gamma)
-    noise = jax.random.normal(k_noise, batch["Ez"].shape)
+    noise = jax.random.normal(k_noise, batch["Ez"].shape, batch["Ez"].dtype)
     noisy = schedule.add_noise(batch["Ez"], noise, t)
 
     def loss_fn(params):
@@ -82,6 +82,28 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
     return state, loss
+
+
+@partial(jax.jit, static_argnames=("batch_size", "snr_gamma", "t_gamma"))
+def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
+                perm, *, batch_size: int, snr_gamma: float = 5.0,
+                t_gamma: float = 1.3):
+    """One full epoch as a single device program (lax.scan over batches) —
+    per-batch host dispatch dominates wall-clock on a tunneled TPU."""
+    n = perm.shape[0]
+    nb = n // batch_size
+
+    def body(carry, k):
+        state, key = carry
+        key, k_step = jax.random.split(key)
+        idx = jax.lax.dynamic_slice(perm, (k * batch_size,), (batch_size,))
+        batch = {name: v[idx] for name, v in data.items()}
+        state, loss = train_step(state, schedule, k_step, batch,
+                                 snr_gamma=snr_gamma, t_gamma=t_gamma)
+        return (state, key), loss
+
+    (state, _), losses = jax.lax.scan(body, (state, key), jnp.arange(nb))
+    return state, jnp.mean(losses)
 
 
 def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
@@ -155,21 +177,16 @@ def train(key, data: dict, config: TrainConfig,
     if config.ckpt_dir:
         state, start_epoch = restore_checkpoint(config.ckpt_dir, state)
 
+    arrays = {k: v for k, v in data.items() if k != "residuals"}
     losses = []
     for epoch in range(start_epoch, config.num_epochs):
-        key, k_perm = jax.random.split(key)
+        key, k_perm, k_epoch = jax.random.split(key, 3)
         perm = jax.random.permutation(k_perm, n)
-        epoch_loss, nb = 0.0, 0
-        for i in range(0, n - config.batch_size + 1, config.batch_size):
-            idx = perm[i : i + config.batch_size]
-            batch = {k: v[idx] for k, v in data.items() if k != "residuals"}
-            key, k_step = jax.random.split(key)
-            state, loss = train_step(state, schedule, k_step, batch,
-                                     snr_gamma=config.snr_weight_gamma,
-                                     t_gamma=config.timestep_gamma)
-            epoch_loss += float(loss)
-            nb += 1
-        losses.append(epoch_loss / max(nb, 1))
+        state, mean_loss = train_epoch(state, schedule, k_epoch, arrays, perm,
+                                       batch_size=config.batch_size,
+                                       snr_gamma=config.snr_weight_gamma,
+                                       t_gamma=config.timestep_gamma)
+        losses.append(float(mean_loss))
         if callback:
             callback(epoch, losses[-1], state)
         if config.ckpt_dir and (epoch + 1) % config.ckpt_every == 0:
