@@ -133,7 +133,7 @@ def cmd_train(args):
     data = {k: jnp.asarray(raw[k]) for k in ("eps", "mu", "src", "omega", "Ez")}
     cfg = TrainConfig(lr=args.lr, batch_size=args.batch, num_epochs=args.epochs,
                       ckpt_dir=args.ckpt_dir)
-    state, losses = train(
+    state, losses, _scales = train(
         jax.random.PRNGKey(args.seed), data, cfg,
         callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}"))
     print(f"final loss {losses[-1]:.6f}")

@@ -58,12 +58,15 @@ class DDPMSchedule:
         return (jnp.sqrt(abar).reshape(shape) * x0
                 + jnp.sqrt(1.0 - abar).reshape(shape) * noise)
 
-    def step(self, noise_pred, t, t_prev, sample, key=None, clip_sample=False):
+    def step(self, noise_pred, t, t_prev, sample, key=None, clip_sample=20.0):
         """One ancestral denoising step from t to t_prev (DDPM).
 
-        ``clip_sample=False`` by default: physical fields are not bounded to
-        [-1, 1] (the reference inherited diffusers' clipping default, which
-        silently truncates field amplitudes).
+        ``clip_sample``: bound on the reconstructed x0 in NORMALIZED units
+        (None disables). Without it the 1/sqrt(abar_t) amplification at early
+        timesteps blows predictions up by orders of magnitude; the reference
+        inherited diffusers' [-1, 1] clip, which assumes image-normalized
+        data — here fields are trained at unit std, so a looser bound keeps
+        rare large amplitudes while preventing divergence.
         """
         abar_t = self.alphas_cumprod[t]
         abar_prev = jnp.where(t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
@@ -71,8 +74,8 @@ class DDPMSchedule:
         beta_t = 1.0 - alpha_t
 
         x0 = (sample - jnp.sqrt(1.0 - abar_t) * noise_pred) / jnp.sqrt(abar_t)
-        if clip_sample:
-            x0 = jnp.clip(x0, -1.0, 1.0)
+        if clip_sample is not None:
+            x0 = jnp.clip(x0, -clip_sample, clip_sample)
 
         coef_x0 = jnp.sqrt(abar_prev) * beta_t / (1.0 - abar_t)
         coef_xt = jnp.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar_t)
@@ -111,7 +114,8 @@ def importance_sample_timesteps(schedule: DDPMSchedule, key, batch_size: int,
 
 
 def sample(schedule: DDPMSchedule, apply_fn, key, eps, mu, src, omega,
-           num_inference_steps: int = 50, stochastic: bool = True):
+           num_inference_steps: int = 50, stochastic: bool = True,
+           clip_sample=20.0):
     """Full DDPM inference loop under ``lax.scan``
     (reference inference(), diffusion_training.py:283-323)."""
     ts = schedule.inference_timesteps(num_inference_steps)
@@ -126,7 +130,8 @@ def sample(schedule: DDPMSchedule, apply_fn, key, eps, mu, src, omega,
         tb = jnp.full((eps.shape[0],), t)
         noise_pred = apply_fn(eps, mu, src, x, tb, omega)
         x = schedule.step(noise_pred, t, t_prev, x,
-                          key=k if stochastic else None)
+                          key=k if stochastic else None,
+                          clip_sample=clip_sample)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x, key), (ts, ts_prev))

@@ -31,6 +31,27 @@ class TrainState(train_state.TrainState):
     batch_stats: dict
 
 
+def compute_scales(data: dict) -> dict:
+    """Normalization constants for the physical channels (the reference feeds
+    raw SI magnitudes — eps ~1e-11 — straight into convolutions; here inputs
+    are scaled to O(1) and Ez labels to unit std, which the DDPM math
+    assumes)."""
+    return {
+        "eps": jnp.mean(data["eps"]),
+        "mu": jnp.mean(data["mu"]),
+        "Ez": jnp.std(data["Ez"]) + 1e-30,
+        "omega": jnp.asarray(1e10, data["omega"].dtype),
+    }
+
+
+def normalize(data: dict, scales: dict) -> dict:
+    out = dict(data)
+    for k in ("eps", "mu", "Ez", "omega"):
+        if k in out:
+            out[k] = out[k] / scales[k]
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     lr: float = 3e-5
@@ -107,8 +128,16 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
 
 
 def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
-              omega, num_inference_steps: int = 50):
-    """Denoise from pure noise (reference inference(), :283-323)."""
+              omega, num_inference_steps: int = 50, scales: Optional[dict] = None):
+    """Denoise from pure noise (reference inference(), :283-323).
+
+    With ``scales`` (from :func:`train`), physical inputs are normalized and
+    the returned field is denormalized back to physical units."""
+
+    if scales is not None:
+        eps = eps / scales["eps"]
+        mu = mu / scales["mu"]
+        omega = omega / scales["omega"]
 
     def apply_fn(eps, mu, src, x, t, om):
         return state.apply_fn(
@@ -116,8 +145,11 @@ def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
             eps, mu, src, x, t, om, train=False,
         )
 
-    return sample(schedule, apply_fn, key, eps, mu, src, omega,
-                  num_inference_steps=num_inference_steps)
+    out = sample(schedule, apply_fn, key, eps, mu, src, omega,
+                 num_inference_steps=num_inference_steps)
+    if scales is not None:
+        out = out * scales["Ez"]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +210,8 @@ def train(key, data: dict, config: TrainConfig,
         state, start_epoch = restore_checkpoint(config.ckpt_dir, state)
 
     arrays = {k: v for k, v in data.items() if k != "residuals"}
+    scales = compute_scales(arrays)
+    arrays = normalize(arrays, scales)
     losses = []
     for epoch in range(start_epoch, config.num_epochs):
         key, k_perm, k_epoch = jax.random.split(key, 3)
@@ -195,4 +229,4 @@ def train(key, data: dict, config: TrainConfig,
     # epochs, so short runs produced nothing restorable)
     if config.ckpt_dir and config.num_epochs > start_epoch:
         save_checkpoint(config.ckpt_dir, state, config.num_epochs - 1)
-    return state, losses
+    return state, losses, scales
