@@ -170,7 +170,11 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> None:
 
 
 def restore_checkpoint(ckpt_dir: str, state: TrainState):
-    """Restore the latest checkpoint into ``state``; returns (state, epoch)."""
+    """Restore the latest checkpoint into ``state``; returns (state, epoch).
+
+    Note: normalization scales are a property of the dataset, not the model —
+    recompute them with :func:`compute_scales` on the data you infer against.
+    """
     import os
     import orbax.checkpoint as ocp
 
