@@ -23,10 +23,11 @@ import numpy as np
 
 
 def _load_scene(args, black_point=10.0):
-    from fdtd2d_tpu.core.materials import material_init
+    """Build the :class:`~fdtd2d_tpu.core.grid.Scene` a subcommand runs on."""
+    from fdtd2d_tpu.core.grid import Scene
 
-    return material_init(getattr(args, "structure", None), args.size, args.size,
-                         black_point=black_point, dtype=np.float32)
+    return Scene.from_image(getattr(args, "structure", None), args.size,
+                            args.size, dx=args.dx, black_point=black_point)
 
 
 def cmd_fdtd(args):
@@ -36,17 +37,17 @@ def cmd_fdtd(args):
     from fdtd2d_tpu.fdtd.simulate import simulate, FDTDConfig
     from fdtd2d_tpu.viz.render import render_video
 
-    eps, mu = _load_scene(args)
-    courant = check_courant(eps, mu, args.dt, args.dx)
+    scene = _load_scene(args)
+    courant = check_courant(scene.eps, scene.mu, args.dt, scene.dx)
     print(f"courant number: {courant:.4f}")
-    cfg = FDTDConfig(dt=args.dt, dx=args.dx, nsteps=args.steps,
+    cfg = FDTDConfig(dt=args.dt, dx=scene.dx, nsteps=args.steps,
                      source_xy=(args.size // 2, args.size // 2),
                      source_fc=args.fc, nframes=args.frames,
                      backend=args.backend)
-    (Ez, _, _), snaps = simulate(eps, mu, cfg)
+    (Ez, _, _), snaps = simulate(scene.eps, scene.mu, cfg)
     print(f"max |Ez| = {float(jnp.max(jnp.abs(Ez))):.4e}")
     if args.video and snaps is not None:
-        out = render_video(np.asarray(snaps), eps, args.video, fps=15)
+        out = render_video(np.asarray(snaps), np.asarray(scene.eps), args.video, fps=15)
         print(f"wrote {out}")
 
 
@@ -57,11 +58,10 @@ def cmd_fdfd(args):
     from fdtd2d_tpu.fdfd.solver import run_fdfd
     from fdtd2d_tpu.viz.render import plot_Ez
 
-    eps, mu = _load_scene(args, black_point=3.0)
-    check_resolution(eps, mu, args.omega, args.dx)
-    source = np.zeros((args.size, args.size), np.float32)
-    source[args.size // 5, args.size // 5] = 10.0
-    res = run_fdfd(eps, mu, args.dx, args.dx, args.omega, source,
+    scene = _load_scene(args, black_point=3.0)
+    check_resolution(scene.eps, scene.mu, args.omega, scene.dx)
+    source = scene.point_source(args.size // 5, args.size // 5)
+    res = run_fdfd(scene.eps, scene.mu, scene.dx, scene.dx, args.omega, source,
                    rhs_scale=args.omega,  # reference driver convention (fdfd.py:112)
                    tol=args.tol, maxiter=args.maxiter)
     import jax.numpy as jnp
@@ -70,19 +70,29 @@ def cmd_fdfd(args):
     print(f"relative residual: {float(res.relative_residual):.3e}")
     if args.out:
         m = float(np.abs(Ez).max()) or 1.0
-        plot_Ez(Ez, eps, args.out, vmax=m, vmin=-m)
+        plot_Ez(Ez, np.asarray(scene.eps), args.out, vmax=m, vmin=-m)
         print(f"wrote {args.out}")
 
 
 def cmd_tiled(args):
-    from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled
+    from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled, generate_patches, bfs_order
     from fdtd2d_tpu.viz.render import plot_Ez
 
-    eps, mu = _load_scene(args, black_point=3.0)
-    source = np.zeros((args.size, args.size), np.float32)
-    source[args.size // 2, args.size // 2] = 10.0
+    scene = _load_scene(args, black_point=3.0)
+    source = np.asarray(scene.point_source(args.size // 2, args.size // 2))
+    if args.plot_patches:
+        from fdtd2d_tpu.viz.plots import plot_patch_distances
+
+        W = args.patch_size + 2 * args.padding
+        origins = generate_patches(args.size, args.size, args.patch_size,
+                                   args.padding)
+        dists = bfs_order(origins, W, source, halo=10)
+        plot_patch_distances(origins, dists, W, scene.shape,
+                             args.plot_patches, source=source)
+        print(f"wrote {args.plot_patches}")
     sol, trace = run_fdfd_tiled(
-        eps, mu, args.dx, args.dx, args.omega, source, mode=args.mode,
+        np.asarray(scene.eps), np.asarray(scene.mu), scene.dx, scene.dx,
+        args.omega, source, mode=args.mode,
         patch_size=args.patch_size, padding=args.padding, verbose=True)
     print(f"convergence trace: {[f'{t:.2e}' for t in trace]}")
     if args.out:
@@ -90,7 +100,7 @@ def cmd_tiled(args):
 
         Ez = np.asarray(jnp.real(sol))
         m = float(np.abs(Ez).max()) or 1.0
-        plot_Ez(Ez, eps, args.out, vmax=m, vmin=-m)
+        plot_Ez(Ez, np.asarray(scene.eps), args.out, vmax=m, vmin=-m)
         print(f"wrote {args.out}")
 
 
@@ -184,6 +194,8 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--padding", type=int, default=30)
     f.add_argument("--structure", type=str, default=None)
     f.add_argument("--out", type=str, default="Ez_tiled.png")
+    f.add_argument("--plot-patches", type=str, default=None,
+                   help="write the BFS patch-distance diagnostic map here")
     f.set_defaults(fn=cmd_tiled)
 
     f = sub.add_parser("invdes", help="inverse design (low-pass filter)")

@@ -54,3 +54,20 @@ class Scene:
             mu=jnp.full((rows, cols), constants.MU_0, dtype),
             dx=dx,
         )
+
+    @staticmethod
+    def from_image(path: "str | None", rows: int, cols: int, dx: float,
+                   black_point: float = 10.0, dtype=jnp.float32) -> "Scene":
+        """Scene from a grayscale structure image (black -> black_point*eps0,
+        white -> eps0; LANCZOS resize — reference python-src/main.py:88-123).
+        ``path=None`` gives vacuum."""
+        from fdtd2d_tpu.core.materials import material_init
+        import numpy as np
+
+        eps, mu = material_init(path, rows, cols, black_point=black_point,
+                                dtype=np.float64)
+        return Scene(eps=jnp.asarray(eps, dtype), mu=jnp.asarray(mu, dtype), dx=dx)
+
+    def point_source(self, x: int, y: int, amp: float = 10.0) -> jax.Array:
+        """A single-point source map at (x, y) (the drivers' convention)."""
+        return jnp.zeros(self.shape, jnp.float32).at[x, y].set(amp)

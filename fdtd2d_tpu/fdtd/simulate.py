@@ -116,6 +116,12 @@ def simulate(eps, mu, config: FDTDConfig, state=None):
 
     Returns ``(Ez, Hx, Hy), snapshots`` where ``snapshots`` is a
     ``(nframes, N, M)`` array of strided Ez frames (or None if nframes=0).
+
+    Frame timing deviation from the reference: frame k is emitted after
+    ``(k+1)*steps_per_frame`` steps (the natural scan-output points), while
+    the reference captures at ``i % steps_per_frame == 0`` inside its loop,
+    i.e. after ``k*steps_per_frame + 1`` steps (python-src/fdtd.py:36-38) —
+    a constant offset of ``steps_per_frame - 1`` steps per frame.
     """
     dtype = config.dtype
     eps = jnp.asarray(eps, dtype)
@@ -152,6 +158,48 @@ def simulate(eps, mu, config: FDTDConfig, state=None):
                 steps_per_frame=steps_per_frame)
 
 
+@partial(jax.jit, static_argnames=("nsteps", "nframes", "steps_per_frame",
+                                   "source_kind"))
+def _simulate_batched_core(eps_batch, mu_batch, sources_xy, dt, dx, fc, *,
+                           nsteps: int, nframes: int, steps_per_frame: int,
+                           source_kind: str):
+    """Module-level jitted core for :func:`simulate_batched`: the compile
+    cache is keyed on (shapes, dtype, static config) so repeated sweeps —
+    datagen calling with fresh scene batches — reuse one compilation.
+    dt/dx/fc are traced scalars: changing their values does not retrace."""
+    dtype = eps_batch.dtype
+    rows, cols = eps_batch.shape[1:]
+
+    def one(eps, mu, sxy):
+        ce, ch, coef = precompute_coefficients(eps, mu, dt, dx, dtype)
+        Ez = jnp.zeros((rows, cols), dtype)
+        Hx = jnp.zeros((rows, cols - 1), dtype)
+        Hy = jnp.zeros((rows - 1, cols), dtype)
+
+        def advance(Ez, Hx, Hy, n, offset):
+            def body(i, c):
+                Ez, Hx, Hy = c
+                Ez, Hx, Hy = fdtd_step(Ez, Hx, Hy, ce, ch, coef)
+                t = (offset + i).astype(dtype) * dt
+                amp = _source_amp(source_kind, t, fc)
+                return Ez.at[sxy[0], sxy[1]].add(amp.astype(Ez.dtype)), Hx, Hy
+
+            return jax.lax.fori_loop(0, n, body, (Ez, Hx, Hy))
+
+        if nframes <= 0:
+            return advance(Ez, Hx, Hy, nsteps, jnp.int32(0)), None
+
+        def frame(carry, k):
+            Ez, Hx, Hy = carry
+            Ez, Hx, Hy = advance(Ez, Hx, Hy, steps_per_frame, k * steps_per_frame)
+            return (Ez, Hx, Hy), Ez
+
+        (Ez, Hx, Hy), snaps = jax.lax.scan(frame, (Ez, Hx, Hy), jnp.arange(nframes))
+        return (Ez, Hx, Hy), snaps
+
+    return jax.vmap(one)(eps_batch, mu_batch, sources_xy)
+
+
 def simulate_batched(eps_batch, mu_batch, config: FDTDConfig, sources_xy=None):
     """vmap-batched FDTD rollouts over a batch of scenes (surrogate datagen
     and parameter sweeps; the reference loops one simulation at a time).
@@ -170,8 +218,8 @@ def simulate_batched(eps_batch, mu_batch, config: FDTDConfig, sources_xy=None):
     else:
         sources_xy = jnp.asarray(sources_xy, jnp.int32)
 
-    rows, cols = eps_batch.shape[1:]
     dt = jnp.asarray(cfg.dt, cfg.dtype)
+    dx = jnp.asarray(cfg.dx, cfg.dtype)
     fc = jnp.asarray(cfg.source_fc, cfg.dtype)
     if cfg.nframes > 0:
         steps_per_frame = max(cfg.nsteps // cfg.nframes, 1)
@@ -179,31 +227,7 @@ def simulate_batched(eps_batch, mu_batch, config: FDTDConfig, sources_xy=None):
     else:
         steps_per_frame, nframes = 0, 0
 
-    def one(eps, mu, sxy):
-        ce, ch, coef = precompute_coefficients(eps, mu, cfg.dt, cfg.dx, cfg.dtype)
-        Ez = jnp.zeros((rows, cols), cfg.dtype)
-        Hx = jnp.zeros((rows, cols - 1), cfg.dtype)
-        Hy = jnp.zeros((rows - 1, cols), cfg.dtype)
-
-        def advance(Ez, Hx, Hy, nsteps, offset):
-            def body(i, c):
-                Ez, Hx, Hy = c
-                Ez, Hx, Hy = fdtd_step(Ez, Hx, Hy, ce, ch, coef)
-                t = (offset + i).astype(cfg.dtype) * dt
-                amp = _source_amp(cfg.source_kind, t, fc)
-                return Ez.at[sxy[0], sxy[1]].add(amp.astype(Ez.dtype)), Hx, Hy
-
-            return jax.lax.fori_loop(0, nsteps, body, (Ez, Hx, Hy))
-
-        if nframes <= 0:
-            return advance(Ez, Hx, Hy, cfg.nsteps, jnp.int32(0)), None
-
-        def frame(carry, k):
-            Ez, Hx, Hy = carry
-            Ez, Hx, Hy = advance(Ez, Hx, Hy, steps_per_frame, k * steps_per_frame)
-            return (Ez, Hx, Hy), Ez
-
-        (Ez, Hx, Hy), snaps = jax.lax.scan(frame, (Ez, Hx, Hy), jnp.arange(nframes))
-        return (Ez, Hx, Hy), snaps
-
-    return jax.jit(jax.vmap(one))(eps_batch, mu_batch, sources_xy)
+    return _simulate_batched_core(
+        eps_batch, mu_batch, sources_xy, dt, dx, fc, nsteps=cfg.nsteps,
+        nframes=nframes, steps_per_frame=steps_per_frame,
+        source_kind=cfg.source_kind)

@@ -52,13 +52,17 @@ def random_source(key, shape: Tuple[int, int]):
     sy0, sy1 = max(5, W // 10), min(W - 5, W - W // 10)
     L = max((min(sx1 - sx0, sy1 - sy0)) // 10, 1)
 
-    k1, k2, k3, k4 = jax.random.split(key, 4)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
     is_line = jax.random.uniform(k1, ()) < 0.5
     is_horiz = jax.random.uniform(k2, ()) < 0.5
     r = jax.random.randint(k3, (), sx0, sx1)
     c = jax.random.randint(k4, (), sy0, sy1)
-    c_start = jnp.clip(c, sy0, sy1 - L)
-    r_start = jnp.clip(r, sx0, sx1 - L)
+    # line starts are drawn independently and uniformly over the valid range
+    # (reference :109-146 draws them separately from the fixed coordinate;
+    # clipping the point coordinate instead would pile probability mass at
+    # the interval ends and skew the training distribution)
+    c_start = jax.random.randint(k5, (), sy0, max(sy1 - L, sy0 + 1))
+    r_start = jax.random.randint(k6, (), sx0, max(sx1 - L, sx0 + 1))
 
     rows = jnp.arange(H)[:, None]
     cols = jnp.arange(W)[None, :]

@@ -110,8 +110,16 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
                 perm, *, batch_size: int, snr_gamma: float = 5.0,
                 t_gamma: float = 1.3):
     """One full epoch as a single device program (lax.scan over batches) —
-    per-batch host dispatch dominates wall-clock on a tunneled TPU."""
+    per-batch host dispatch dominates wall-clock on a tunneled TPU.
+
+    The tail partial batch is dropped (the reference's DataLoader trains on
+    it, drop_last=False); a shuffled-each-epoch tail loses < batch_size
+    samples per epoch, different ones every time."""
     n = perm.shape[0]
+    if batch_size > n:
+        raise ValueError(
+            f"batch_size={batch_size} exceeds dataset size {n}; an epoch "
+            "would contain zero batches (mean over zero losses is NaN)")
     nb = n // batch_size
 
     def body(carry, k):

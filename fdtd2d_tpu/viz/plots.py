@@ -88,6 +88,41 @@ def plot_noisy_sample(frames, path: str = "noise_schedule.png") -> None:
     plt.close(fig)
 
 
+def plot_patch_distances(origins, dists, W: int, shape,
+                         path: str = "patch_distances.png",
+                         source=None) -> None:
+    """BFS source-distance map of the tiled solver's patches.
+
+    Equivalent of the reference's patch-distance diagnostic
+    (reference README.md assets/patch_distances.png, data from
+    python-src/tiled_solver.py:159-185): each patch window is painted with
+    its BFS distance from the source-containing patches (nearer patches win
+    where windows overlap), with the window outlines drawn on top.
+    """
+    plt = _plt()
+    origins = np.asarray(origins)
+    dists = np.asarray(dists)
+    Nx, Ny = shape
+    field = np.full((Nx, Ny), np.nan)
+    for p in np.argsort(dists)[::-1]:  # paint far first; near overwrites
+        x0, y0 = origins[p]
+        field[x0 : x0 + W, y0 : y0 + W] = dists[p]
+    fig, ax = plt.subplots(figsize=(7, 6))
+    im = ax.imshow(field, cmap="viridis")
+    for (x0, y0), d in zip(origins, dists):
+        ax.add_patch(plt.Rectangle((y0, x0), W, W, fill=False,
+                                   edgecolor="white", linewidth=0.5, alpha=0.6))
+        ax.text(y0 + W / 2, x0 + W / 2, str(int(d)), color="white",
+                ha="center", va="center", fontsize=7)
+    if source is not None:
+        sx, sy = np.nonzero(np.asarray(source))
+        ax.plot(sy, sx, "r*", markersize=10)
+    ax.set_title("Patch BFS distance from source")
+    fig.colorbar(im, ax=ax, label="sweep order distance")
+    plt.savefig(path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_frequency_response(omegas, measured, ideal=None,
                             path: str = "frequency_response.png") -> None:
     """Measured vs ideal normalized response (inverse-design workload)."""

@@ -134,3 +134,21 @@ def test_simulate_batched_matches_per_scene():
     ref2 = numpy_simulate(eps2, mu, DT, DX, 60, (20, 28), 30e9)
     for got, ref in zip(np.asarray(Ezb, np.float64), (ref1, ref2)):
         assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 1e-5
+
+
+def test_simulate_batched_no_retrace():
+    """Repeated sweeps with the same shapes/static config must reuse one
+    compilation — even when dt/dx/fc change value (they are traced args)."""
+    from fdtd2d_tpu.fdtd.simulate import simulate_batched, _simulate_batched_core
+
+    rows = cols = 32
+    eps = np.full((2, rows, cols), constants.EPSILON_0)
+    mu = np.full((2, rows, cols), constants.MU_0)
+    cfg = FDTDConfig(dt=DT, dx=DX, nsteps=4, source_xy=(16, 16), source_fc=30e9,
+                     backend="jax")
+    simulate_batched(eps, mu, cfg)
+    n0 = _simulate_batched_core._cache_size()
+    simulate_batched(eps * 1.001, mu, cfg)  # new data, same shapes
+    import dataclasses as _dc
+    simulate_batched(eps, mu, _dc.replace(cfg, dt=DT * 0.5, source_fc=20e9))
+    assert _simulate_batched_core._cache_size() == n0

@@ -55,7 +55,15 @@ def test_plots_write_files(tmp_path):
     plot_noisy_sample(np.zeros((3, 8, 8)), str(tmp_path / "noisy.png"))
     plot_frequency_response([1, 2, 3], [1.0, 0.5, 0.1], [1, 0, 0],
                             str(tmp_path / "fr.png"))
-    for f in ("sp.png", "conv.png", "cmp.png", "noisy.png", "fr.png"):
+    from fdtd2d_tpu.fdfd.tiled import generate_patches, bfs_order
+    from fdtd2d_tpu.viz.plots import plot_patch_distances
+
+    src = np.zeros((160, 160)); src[80, 80] = 1.0
+    origins = generate_patches(160, 160, 64, 16)
+    dists = bfs_order(origins, 96, src, halo=8)
+    plot_patch_distances(origins, dists, 96, (160, 160),
+                         str(tmp_path / "pd.png"), source=src)
+    for f in ("sp.png", "conv.png", "cmp.png", "noisy.png", "fr.png", "pd.png"):
         assert (tmp_path / f).stat().st_size > 0
 
 
@@ -74,6 +82,30 @@ def test_cli_fdtd_and_fdfd(tmp_path, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "relative residual" in out
     assert os.path.getsize("ez.png") > 0
+
+
+def test_cli_tiled_plot_patches(tmp_path, monkeypatch, capsys):
+    from fdtd2d_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    assert main(["tiled", "--size", "160", "--omega", "17e9",
+                 "--patch-size", "64", "--padding", "24",
+                 "--mode", "additive", "--out", "ez_tiled.png",
+                 "--plot-patches", "patches.png"]) == 0
+    assert os.path.getsize("patches.png") > 0
+    assert os.path.getsize("ez_tiled.png") > 0
+
+
+def test_scene_container():
+    from fdtd2d_tpu.core.grid import Scene
+    from fdtd2d_tpu import constants
+
+    s = Scene.vacuum(32, 48, dx=1e-3)
+    assert s.shape == (32, 48) and s.dx == 1e-3
+    src = s.point_source(4, 7, amp=2.0)
+    assert float(src[4, 7]) == 2.0 and float(src.sum()) == 2.0
+    v = Scene.from_image(None, 16, 16, dx=1e-4)
+    assert np.allclose(np.asarray(v.eps), constants.EPSILON_0)
 
 
 def test_cli_invdes(tmp_path, monkeypatch, capsys):
