@@ -134,19 +134,78 @@ def cmd_datagen(args):
 
 
 def cmd_train(args):
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from fdtd2d_tpu.models.train import TrainConfig, train
 
     raw = np.load(args.data)
-    data = {k: jnp.asarray(raw[k]) for k in ("eps", "mu", "src", "omega", "Ez")}
+    keys = ("eps", "mu", "src", "omega", "Ez")
+    if args.stream_chunk:
+        data = {k: raw[k] for k in keys}          # host-resident, streamed
+    else:
+        data = {k: jnp.asarray(raw[k]) for k in keys}
     cfg = TrainConfig(lr=args.lr, batch_size=args.batch, num_epochs=args.epochs,
                       ckpt_dir=args.ckpt_dir)
+
+    eval_callback = None
+    if args.eval_every:
+        from fdtd2d_tpu.viz.plots import plot_ref_v_inference
+
+        os.makedirs(args.eval_dir, exist_ok=True)
+
+        def eval_callback(epoch, pred, true):
+            path = os.path.join(args.eval_dir, f"eval_epoch_{epoch:05d}.png")
+            plot_ref_v_inference(true, pred, path)
+            print(f"epoch {epoch}: wrote {path}")
+
     state, losses, _scales = train(
         jax.random.PRNGKey(args.seed), data, cfg,
+        eval_every=args.eval_every, eval_callback=eval_callback,
+        stream_chunk=args.stream_chunk,
         callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}"))
     print(f"final loss {losses[-1]:.6f}")
+
+
+def cmd_infer(args):
+    """Restore a checkpoint (weights + normalization scales) and run DDPM
+    inference on a scene — no access to the training data required."""
+    import jax
+    import jax.numpy as jnp
+
+    from fdtd2d_tpu.models.diffusion import DDPMSchedule
+    from fdtd2d_tpu.models.train import (TrainConfig, create_state, inference,
+                                         restore_checkpoint)
+    from fdtd2d_tpu.viz.plots import plot_ref_v_inference
+    from fdtd2d_tpu.viz.render import plot_Ez
+
+    raw = np.load(args.data)
+    i = args.index
+    eps, mu, src = (jnp.asarray(raw[k][i])[None] for k in ("eps", "mu", "src"))
+    omega = jnp.asarray(raw["omega"][i]).reshape(1)
+
+    cfg = TrainConfig(ckpt_dir=args.ckpt_dir)
+    state = create_state(jax.random.PRNGKey(0), eps.shape[1:], cfg)
+    state, epoch, scales = restore_checkpoint(args.ckpt_dir, state)
+    if epoch == 0:
+        raise SystemExit(f"no checkpoint found in {args.ckpt_dir}")
+    if scales is None:
+        raise SystemExit("checkpoint has no normalization scales (pre-scales "
+                         "format); re-save with models.train.save_checkpoint")
+    schedule = DDPMSchedule.create(cfg.num_train_timesteps)
+    pred = inference(state, schedule, jax.random.PRNGKey(args.seed),
+                     eps, mu, src, omega, scales=scales,
+                     num_inference_steps=args.steps)
+    pred = np.asarray(pred[0])
+    print(f"restored epoch {epoch - 1}; predicted field std {pred.std():.3e}")
+    if "Ez" in raw.files:
+        plot_ref_v_inference(raw["Ez"][i], pred, args.out)
+    else:
+        m = float(np.abs(pred).max()) or 1.0
+        plot_Ez(pred, np.asarray(raw["eps"][i]), args.out, vmax=m, vmin=-m)
+    print(f"wrote {args.out}")
 
 
 def cmd_bench(args):
@@ -222,7 +281,23 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--lr", type=float, default=3e-5)
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--ckpt-dir", type=str, default=None)
+    f.add_argument("--eval-every", type=int, default=0,
+                   help="write a true-vs-predicted panel every N epochs")
+    f.add_argument("--eval-dir", type=str, default="eval_panels")
+    f.add_argument("--stream-chunk", type=int, default=0,
+                   help="stream the dataset from host in chunks of this many "
+                        "samples (multiple of --batch; for datasets past HBM)")
     f.set_defaults(fn=cmd_train)
+
+    f = sub.add_parser("infer", help="restore a checkpoint and predict a field")
+    f.add_argument("--ckpt-dir", type=str, required=True)
+    f.add_argument("--data", type=str, required=True,
+                   help="npz with eps/mu/src/omega (Ez optional, for a panel)")
+    f.add_argument("--index", type=int, default=0)
+    f.add_argument("--steps", type=int, default=50)
+    f.add_argument("--seed", type=int, default=0)
+    f.add_argument("--out", type=str, default="inference.png")
+    f.set_defaults(fn=cmd_infer)
 
     f = sub.add_parser("bench", help="headline benchmark (one JSON line)")
     f.set_defaults(fn=cmd_bench)

@@ -165,7 +165,15 @@ def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
 # ---------------------------------------------------------------------------
 
 
-def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> None:
+def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
+                    scales: Optional[dict] = None) -> None:
+    """Persist the train state PLUS the dataset normalization scales.
+
+    The scales are part of the model contract — inference must divide inputs
+    and multiply outputs by the training-time constants (reference feeds raw
+    SI units and has no such layer; an earlier revision here recomputed
+    scales from whatever data was at hand, which silently changed the field
+    scaling when inferring against different data)."""
     import os
     import orbax.checkpoint as ocp
 
@@ -173,43 +181,78 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int) -> None:
     ckptr = ocp.StandardCheckpointer()
     payload = {"params": state.params, "batch_stats": state.batch_stats,
                "opt_state": state.opt_state, "step": state.step, "epoch": epoch}
+    if scales is not None:
+        payload["scales"] = {k: jnp.asarray(v) for k, v in scales.items()}
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
 
 
 def restore_checkpoint(ckpt_dir: str, state: TrainState):
-    """Restore the latest checkpoint into ``state``; returns (state, epoch).
+    """Restore the latest checkpoint; returns (state, next_epoch, scales).
 
-    Note: normalization scales are a property of the dataset, not the model —
-    recompute them with :func:`compute_scales` on the data you infer against.
-    """
+    ``scales`` is the training-time normalization dict (None for checkpoints
+    written before scales were part of the payload — recompute those with
+    :func:`compute_scales` on the original training data)."""
     import os
     import orbax.checkpoint as ocp
 
     if not os.path.isdir(ckpt_dir):
-        return state, 0
+        return state, 0, None
     epochs = sorted(
         int(d.split("_")[1]) for d in os.listdir(ckpt_dir) if d.startswith("epoch_")
     )
     if not epochs:
-        return state, 0
+        return state, 0, None
     epoch = epochs[-1]
     ckptr = ocp.StandardCheckpointer()
     template = {"params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state, "step": state.step, "epoch": 0}
-    payload = ckptr.restore(f"{ckpt_dir}/epoch_{epoch:05d}", template)
+    scale_template = {k: jnp.zeros(()) for k in ("eps", "mu", "Ez", "omega")}
+    path = f"{ckpt_dir}/epoch_{epoch:05d}"
+    try:
+        payload = ckptr.restore(path, dict(template, scales=scale_template))
+        scales = payload["scales"]
+    except Exception:
+        payload = ckptr.restore(path, template)
+        scales = None
     state = state.replace(params=payload["params"],
                           batch_stats=payload["batch_stats"],
                           opt_state=payload["opt_state"], step=payload["step"])
-    return state, epoch + 1
+    return state, epoch + 1, scales
+
+
+def compute_scales_host(data: dict) -> dict:
+    """:func:`compute_scales` on host numpy arrays (streaming datasets that
+    must not be materialized on device)."""
+    return {
+        "eps": jnp.asarray(np.mean(data["eps"])),
+        "mu": jnp.asarray(np.mean(data["mu"])),
+        "Ez": jnp.asarray(np.std(data["Ez"]) + 1e-30),
+        "omega": jnp.asarray(1e10, jnp.asarray(data["omega"]).dtype),
+    }
 
 
 def train(key, data: dict, config: TrainConfig,
           state: Optional[TrainState] = None, eval_every: int = 0,
-          callback=None):
-    """Epoch loop over an in-memory dataset dict (eps/mu/src/omega/Ez).
+          eval_callback=None, callback=None, stream_chunk: int = 0):
+    """Epoch loop over a dataset dict (eps/mu/src/omega/Ez).
 
-    Resumes from ``config.ckpt_dir`` if checkpoints exist there.
+    Resumes from ``config.ckpt_dir`` if checkpoints exist there (including
+    the persisted normalization scales, so resumed runs and later inference
+    never depend on recomputing statistics from the original data).
+
+    ``eval_every``/``eval_callback``: every N epochs run full DDPM inference
+    on the dataset's first sample and call
+    ``eval_callback(epoch, predicted_field, true_field)`` with PHYSICAL-unit
+    (denormalized) arrays — the reference's per-epoch comparison panel
+    (reference: python-src/diffusion_training.py:382-394).
+
+    ``stream_chunk``: 0 keeps the whole dataset on device and scans each
+    epoch in one program. A positive value (a multiple of batch_size) keeps
+    ``data`` on the HOST (pass numpy arrays) and streams shuffled chunks of
+    that many samples per dispatch — the path for datasets past HBM (e.g.
+    10k scenes at 250^2: ~12 GB). A ragged tail chunk is dropped each epoch
+    (different samples every epoch under the shuffle).
     """
     schedule = DDPMSchedule.create(config.num_train_timesteps)
     n = data["Ez"].shape[0]
@@ -218,27 +261,70 @@ def train(key, data: dict, config: TrainConfig,
     if state is None:
         state = create_state(k_init, shape, config)
     start_epoch = 0
+    ckpt_scales = None
     if config.ckpt_dir:
-        state, start_epoch = restore_checkpoint(config.ckpt_dir, state)
+        state, start_epoch, ckpt_scales = restore_checkpoint(config.ckpt_dir, state)
 
-    arrays = {k: v for k, v in data.items() if k != "residuals"}
-    scales = compute_scales(arrays)
-    arrays = normalize(arrays, scales)
+    raw = {k: v for k, v in data.items() if k != "residuals"}
+    if stream_chunk:
+        if stream_chunk % config.batch_size:
+            raise ValueError(
+                f"stream_chunk={stream_chunk} must be a multiple of "
+                f"batch_size={config.batch_size}")
+        scales = ckpt_scales or compute_scales_host(raw)
+        arrays = None  # host-resident; chunks normalized after transfer
+    else:
+        scales = ckpt_scales or compute_scales(raw)
+        arrays = normalize(raw, scales)
+
+    # physical-unit eval sample (the reference inspects dataset sample 0)
+    eval_sample = None
+    if eval_every > 0 and eval_callback is not None:
+        eval_sample = {k: np.asarray(raw[k][0]) for k in
+                       ("eps", "mu", "src", "omega", "Ez")}
+
     losses = []
     for epoch in range(start_epoch, config.num_epochs):
         key, k_perm, k_epoch = jax.random.split(key, 3)
-        perm = jax.random.permutation(k_perm, n)
-        state, mean_loss = train_epoch(state, schedule, k_epoch, arrays, perm,
-                                       batch_size=config.batch_size,
-                                       snr_gamma=config.snr_weight_gamma,
-                                       t_gamma=config.timestep_gamma)
+        if stream_chunk:
+            perm_np = np.asarray(jax.random.permutation(k_perm, n))
+            chunk_losses = []
+            for c0 in range(0, n - stream_chunk + 1, stream_chunk):
+                idx = perm_np[c0 : c0 + stream_chunk]
+                dev = {k: jnp.asarray(np.asarray(v)[idx]) for k, v in raw.items()}
+                dev = normalize(dev, scales)
+                k_epoch, k_chunk = jax.random.split(k_epoch)
+                state, loss = train_epoch(
+                    state, schedule, k_chunk, dev, jnp.arange(stream_chunk),
+                    batch_size=config.batch_size,
+                    snr_gamma=config.snr_weight_gamma,
+                    t_gamma=config.timestep_gamma)
+                chunk_losses.append(float(loss))
+            mean_loss = float(np.mean(chunk_losses))
+        else:
+            perm = jax.random.permutation(k_perm, n)
+            state, mean_loss = train_epoch(state, schedule, k_epoch, arrays, perm,
+                                           batch_size=config.batch_size,
+                                           snr_gamma=config.snr_weight_gamma,
+                                           t_gamma=config.timestep_gamma)
         losses.append(float(mean_loss))
         if callback:
             callback(epoch, losses[-1], state)
+        if eval_sample is not None and (epoch + 1) % eval_every == 0:
+            key, k_ev = jax.random.split(key)
+            pred = inference(
+                state, schedule, k_ev,
+                jnp.asarray(eval_sample["eps"])[None],
+                jnp.asarray(eval_sample["mu"])[None],
+                jnp.asarray(eval_sample["src"])[None],
+                jnp.asarray(eval_sample["omega"]).reshape(1),
+                scales=scales)
+            eval_callback(epoch, np.asarray(pred[0]), eval_sample["Ez"])
         if config.ckpt_dir and (epoch + 1) % config.ckpt_every == 0:
-            save_checkpoint(config.ckpt_dir, state, epoch)
+            save_checkpoint(config.ckpt_dir, state, epoch, scales=scales)
     # always persist the final state (the reference only saved every 10
     # epochs, so short runs produced nothing restorable)
     if config.ckpt_dir and config.num_epochs > start_epoch:
-        save_checkpoint(config.ckpt_dir, state, config.num_epochs - 1)
+        save_checkpoint(config.ckpt_dir, state, config.num_epochs - 1,
+                        scales=scales)
     return state, losses, scales

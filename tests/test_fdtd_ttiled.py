@@ -1,0 +1,61 @@
+"""Golden-oracle chain, FDTD leg 4: temporally-tiled panel kernel vs oracle.
+
+Covers the trapezoidal-tiling edge cases: multiple sweeps, a remainder
+sweep (nsteps % K != 0), a source row inside a panel-halo overlap (so two
+panels co-own the injection), and boundary panels (Mur bands + corners
+evolving inside the K-step loop)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fdtd2d_tpu import constants
+from fdtd2d_tpu.fdtd.reference import numpy_simulate
+from fdtd2d_tpu.fdtd.step import precompute_coefficients
+from fdtd2d_tpu.ops.pallas_fdtd_ttiled import fdtd_multistep_ttiled
+
+DT, DX = 5e-14, 1e-4
+
+
+def _run(rows, cols, nsteps, K, PH, src):
+    eps = np.full((rows, cols), constants.EPSILON_0)
+    eps[20:40, 50:70] *= 3.0
+    mu = np.full((rows, cols), constants.MU_0)
+    fc = 30e9
+
+    ce, ch, coef = precompute_coefficients(eps, mu, DT, DX, jnp.float32)
+    Ez = jnp.zeros((rows, cols), jnp.float32)
+    Hx = jnp.zeros((rows, cols - 1), jnp.float32)
+    Hy = jnp.zeros((rows - 1, cols), jnp.float32)
+    Ez, Hx, Hy = fdtd_multistep_ttiled(
+        Ez, Hx, Hy, ce, ch, coef, DT, fc, src[0], src[1],
+        nsteps, "ricker", 0, K=K, PH=PH, interpret=True)
+
+    ref = numpy_simulate(eps, mu, DT, DX, nsteps, src, fc)
+    err = np.max(np.abs(np.asarray(Ez, np.float64) - ref)) / np.max(np.abs(ref))
+    return err, Ez, Hx, Hy
+
+
+def test_ttiled_matches_oracle_multisweep():
+    rows, cols = 64, 128   # 4 panels of 16 rows, K=8 halo
+    err, Ez, Hx, Hy = _run(rows, cols, nsteps=24, K=8, PH=16,
+                           src=(rows // 2, cols // 2))
+    assert err < 1e-5, f"relative field error {err:.3e}"
+    assert Hx.shape == (rows, cols - 1) and Hy.shape == (rows - 1, cols)
+
+
+def test_ttiled_remainder_sweep():
+    err, *_ = _run(64, 128, nsteps=21, K=8, PH=16, src=(32, 64))
+    assert err < 1e-5, f"relative field error {err:.3e}"
+
+
+def test_ttiled_source_in_halo_overlap():
+    # source row 17 is in panel 1's own rows AND panel 0's bottom halo
+    err, *_ = _run(64, 128, nsteps=16, K=8, PH=16, src=(17, 64))
+    assert err < 1e-5, f"relative field error {err:.3e}"
+
+
+def test_ttiled_source_near_boundary():
+    # exercises Mur band + corner evolution entangled with the source panel
+    err, *_ = _run(64, 128, nsteps=16, K=8, PH=16, src=(7, 9))
+    assert err < 1e-5, f"relative field error {err:.3e}"

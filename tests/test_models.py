@@ -132,11 +132,16 @@ def test_checkpoint_roundtrip(tmp_path):
     schedule = DDPMSchedule.create(100)
     batch = {k: v[:4] for k, v in _tiny_data().items()}
     state, _ = train_step(state, schedule, KEY, batch)
-    save_checkpoint(str(tmp_path), state, epoch=3)
+    scales = {"eps": jnp.asarray(2.0), "mu": jnp.asarray(3.0),
+              "Ez": jnp.asarray(0.5), "omega": jnp.asarray(1e10)}
+    save_checkpoint(str(tmp_path), state, epoch=3, scales=scales)
 
     fresh = create_state(jax.random.PRNGKey(9), (32, 32), cfg, model=_tiny_model())
-    restored, next_epoch = restore_checkpoint(str(tmp_path), fresh)
+    restored, next_epoch, restored_scales = restore_checkpoint(str(tmp_path), fresh)
     assert next_epoch == 4
+    assert restored_scales is not None
+    for k, v in scales.items():
+        assert float(restored_scales[k]) == float(v), k
     a = jax.tree.leaves(state.params)
     b = jax.tree.leaves(restored.params)
     for x, y in zip(a, b):

@@ -1,0 +1,59 @@
+"""Split-complex f64 operator: parity with the complex128 operator."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from fdtd2d_tpu import constants
+from fdtd2d_tpu.ops.helmholtz import make_operator
+from fdtd2d_tpu.ops.splitc import (
+    Split, make_operator_f64, f64_operator_for, split_from_numpy,
+    split_to_complex, snorm,
+)
+
+
+def _scene(N=96):
+    rng = np.random.default_rng(3)
+    eps = np.full((N, N), constants.EPSILON_0)
+    eps[30:60, 20:50] *= 2.5
+    mu = np.full((N, N), constants.MU_0)
+    x = rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N))
+    return eps, mu, x
+
+
+def test_f64_apply_matches_c128_operator():
+    N, dx, omega = 96, 1e-3, 17e9
+    eps, mu, x = _scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=20,
+                       dtype=jnp.complex128)
+    want = np.asarray(op.apply(jnp.asarray(x)))
+
+    op64 = make_operator_f64(eps, mu, dx, dx, omega, pml_thickness=20)
+    got = op64.apply(split_from_numpy(x))
+    gotz = np.asarray(got.re) + 1j * np.asarray(got.im)
+    scale = np.abs(want).max()
+    assert np.abs(gotz - want).max() / scale < 1e-13
+
+
+def test_f64_operator_for_roundtrip():
+    """Rebuilding from a c64 operator carries f32-rounded parameters (eps,
+    inv_mu, inv_2dx are stored f32), so parity with the exact c128 operator
+    is limited to ~f32 eps; drivers that need full f64 accuracy build from
+    the original scene arrays via make_operator_f64 instead."""
+    N, dx, omega = 96, 1e-3, 17e9
+    eps, mu, x = _scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=20,
+                       dtype=jnp.complex64)
+    op64 = f64_operator_for(op)
+    want = np.asarray(make_operator(eps, mu, dx, dx, omega, pml_thickness=20,
+                                    dtype=jnp.complex128).apply(jnp.asarray(x)))
+    got = op64.apply(split_from_numpy(x))
+    gotz = np.asarray(got.re) + 1j * np.asarray(got.im)
+    assert np.abs(gotz - want).max() / np.abs(want).max() < 1e-6
+
+
+def test_split_helpers():
+    z = np.array([[1.0 + 2.0j, -3.0j]])
+    s = split_from_numpy(z)
+    assert float(snorm(s)) == np.linalg.norm(z)
+    back = split_to_complex(s, jnp.complex64)
+    assert np.allclose(np.asarray(jnp.real(back)) + 1j * np.asarray(jnp.imag(back)), z)
