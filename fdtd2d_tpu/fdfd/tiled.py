@@ -83,6 +83,39 @@ def bfs_order(origins: np.ndarray, W: int, source: np.ndarray, halo: int) -> np.
 RING_WIDTH = 2  # the distance-2 "outrigger" stencil needs a 2-cell clamp
 
 
+def pou_weights(origins: np.ndarray, W: int, Nx: int, Ny: int,
+                pml: int, padding: int) -> np.ndarray:
+    """Smooth partition of unity over the patch cover: zero across each
+    patch's local PML ring, cosine ramp over the remaining overlap, 1 in the
+    core; normalized so the per-cell weights over all covering patches sum
+    to 1 (0 in the thin boundary ring no core covers). Hard ownership seams
+    put O(||A|| * jump) spikes into A z — measured ~9x residual
+    amplification even with absorbing patch solves."""
+    t1 = np.zeros(W)
+    for i in range(W):
+        d = min(i, W - 1 - i)
+        if d <= pml:
+            t1[i] = 0.0
+        elif d >= padding:
+            t1[i] = 1.0
+        else:
+            t1[i] = 0.5 * (1 - np.cos(np.pi * (d - pml) / (padding - pml)))
+    wpatch = t1[:, None] * t1[None, :]
+    wsum = np.zeros((Nx, Ny))
+    for (x0, y0) in origins:
+        wsum[x0 : x0 + W, y0 : y0 + W] += wpatch
+    return np.stack([
+        wpatch / np.maximum(wsum[x0 : x0 + W, y0 : y0 + W], 1e-30)
+        for (x0, y0) in origins])
+
+
+def patch_flat_indices(origins: np.ndarray, W: int, Ny: int) -> np.ndarray:
+    """(P*W*W,) flat scatter-add indices for the overlapping write-back."""
+    aw = np.arange(W)
+    return ((origins[:, 0, None, None] + aw[None, :, None]) * Ny
+            + (origins[:, 1, None, None] + aw[None, None, :])).ravel()
+
+
 def _ring_mask(W: int, halo: int) -> np.ndarray:
     """The Dirichlet ring: a RING_WIDTH-cell band at offset ``halo`` from the
     window edge. The reference clamps a 1-cell ring (tiled_solver.py:62-99),
@@ -247,33 +280,13 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
 
         Mg = fdm_preconditioner_for(gop)
 
-        # smooth partition of unity: zero across the local PML ring, cosine
-        # ramp over the remaining overlap, 1 in the patch core; normalized
-        # over the actual patch cover
-        t1 = np.zeros(W)
-        ramp_lo, ramp_hi = halo, padding
-        for i in range(W):
-            d = min(i, W - 1 - i)
-            if d <= ramp_lo:
-                t1[i] = 0.0
-            elif d >= ramp_hi:
-                t1[i] = 1.0
-            else:
-                t1[i] = 0.5 * (1 - np.cos(np.pi * (d - ramp_lo) / (ramp_hi - ramp_lo)))
-        wpatch = t1[:, None] * t1[None, :]
-        wsum = np.zeros((Nx, Ny))
-        for (x0, y0) in origins:
-            wsum[x0 : x0 + W, y0 : y0 + W] += wpatch
-        weights = jnp.asarray(np.stack([
-            wpatch / np.maximum(wsum[x0 : x0 + W, y0 : y0 + W], 1e-30)
-            for (x0, y0) in origins]), real)
-        # flat scatter-add indices for the overlapping write-back (one gather-
-        # free scatter instead of a per-patch Python loop of updates — the
-        # unrolled form is a compile-time hazard at hundreds of patches)
-        aw = np.arange(W)
-        flat_idx = jnp.asarray(
-            ((origins[:, 0, None, None] + aw[None, :, None]) * Ny
-             + (origins[:, 1, None, None] + aw[None, None, :])).ravel())
+        # smooth partition of unity (see pou_weights) + flat scatter-add
+        # indices for the overlapping write-back (one gather-free scatter
+        # instead of a per-patch Python loop of updates — the unrolled form
+        # is a compile-time hazard at hundreds of patches)
+        weights = jnp.asarray(pou_weights(origins, W, Nx, Ny, halo, padding),
+                              real)
+        flat_idx = jnp.asarray(patch_flat_indices(origins, W, Ny))
 
         from fdtd2d_tpu.ops.cplx import cdot, cnorm as _cnorm
 

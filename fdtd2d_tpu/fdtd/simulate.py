@@ -6,10 +6,14 @@ scan over frames emits strided Ez snapshots as scan outputs, and each frame
 advances ``steps_per_frame`` leapfrog steps with the selected backend:
 
 - ``"jax"``    — pure-JAX step under ``lax.fori_loop`` (XLA-fused; works on
-                 any grid size / platform; ~10 GCells/s at 2048^2 on v5e).
+                 any grid size / platform; ~5.6 GCells/s at 4096^2 on v5e).
 - ``"pallas"`` — fused multi-step VMEM-resident kernel
-                 (fdtd2d_tpu/ops/pallas_fdtd.py; ~70 GCells/s at 2048^2).
-- ``"auto"``   — pallas when the grid fits VMEM, else jax.
+                 (fdtd2d_tpu/ops/pallas_fdtd.py; ~80 GCells/s at 2048^2).
+- ``"ttiled"`` — temporally-tiled row-panel kernel for grids beyond VMEM
+                 (fdtd2d_tpu/ops/pallas_fdtd_ttiled.py; K leapfrog steps per
+                 HBM pass).
+- ``"auto"``   — pallas when the grid fits VMEM, else ttiled (row-count
+                 permitting), else jax.
 
 The source is a scalar amplitude scatter-add (no per-step full-grid
 allocation like reference python-src/main.py:185).
@@ -56,7 +60,13 @@ def resolve_backend(backend: str, shape: Tuple[int, int]) -> str:
         return backend
     if shape[0] * shape[1] <= _PALLAS_MAX_CELLS and shape[0] >= 16 and shape[1] >= 16:
         return "pallas"
-    return "jax"
+    from fdtd2d_tpu.ops.pallas_fdtd_ttiled import pick_panel_height
+
+    try:
+        pick_panel_height(shape[0], shape[1], 16)
+        return "ttiled"
+    except ValueError:
+        return "jax"
 
 
 def _advance(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy, nsteps: int,
@@ -67,6 +77,15 @@ def _advance(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy, nsteps: int,
 
         interpret = jax.default_backend() != "tpu"
         return fdtd_multistep_pallas(
+            Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy, nsteps, source_kind,
+            step_offset, interpret=interpret,
+        )
+
+    if backend == "ttiled":
+        from fdtd2d_tpu.ops.pallas_fdtd_ttiled import fdtd_multistep_ttiled
+
+        interpret = jax.default_backend() != "tpu"
+        return fdtd_multistep_ttiled(
             Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy, nsteps, source_kind,
             step_offset, interpret=interpret,
         )

@@ -25,15 +25,14 @@ Update semantics are identical to fdtd2d_tpu/fdtd/step.py (validated against
 the float64 NumPy oracle).
 
 Performance status (v5e, this environment): 1.1 GCells/s at 4096^2 — slower
-than the XLA-fused jax path (5.6), so `simulate(backend="auto")` does NOT
-select this kernel yet. Measured causes: (a) manual pallas DMA reaches only
-~43 GB/s on this stack (an empty load+store sweep gets 130 GB/s aggregate,
-one 64 MB copy 43 GB/s) while XLA's own fused loads run at ~320 GB/s;
-(b) ~250 us fixed overhead per pallas_call inside a scan. A BlockSpec-
-pipelined copy probe measures 154 GB/s (BH=512) — better than manual DMA but
-still under XLA's fused path, so a pipelined shifted-view v3 would also lose
-to the jax backend on this stack; >VMEM grids stay on the XLA path until the
-pallas DMA path improves.
+than the XLA-fused jax path (5.6). SUPERSEDED by the temporally-tiled v3
+kernel (fdtd2d_tpu/ops/pallas_fdtd_ttiled.py, 69 GCells/s at 4096^2), which
+`simulate(backend="auto")` selects for >VMEM grids; this one-step-per-pass
+kernel is kept as the simpler oracle-validated reference for the panel
+decomposition. Root causes of its ceiling, measured here: manual
+make_async_copy DMA reaches only ~43 GB/s on this stack while Element-
+indexed BlockSpec pipelining reaches ~240 GB/s, and one HBM pass per step
+caps any single-step sweep at (43 GB/s) / (32 B/cell) = 1.3 GCells/s.
 """
 
 from __future__ import annotations

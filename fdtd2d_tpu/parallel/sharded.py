@@ -121,15 +121,48 @@ def _drow_halo(f, inv2d, axis_name):
     return (fp - fm) * inv2d
 
 
+def _shift_from_left(f, axis_name):
+    """Each shard receives its left neighbor's LAST column (zeros at the
+    global left edge)."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, i + 1) for i in range(n - 1)]
+    return jax.lax.ppermute(f[:, -1:], axis_name, perm)
+
+
+def _shift_from_right(f, axis_name):
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i + 1, i) for i in range(n - 1)]
+    return jax.lax.ppermute(f[:, :1], axis_name, perm)
+
+
+def _dcol_halo(f, inv2d, axis_name):
+    """Central difference along columns with 1-column ppermute halo exchange
+    (the column-axis twin of :func:`_drow_halo`)."""
+    left = _shift_from_left(f, axis_name)     # col c-1 for local col 0
+    right = _shift_from_right(f, axis_name)   # col c+1 for local col -1
+    fp = jnp.concatenate([f[:, 1:], right], axis=1)
+    fm = jnp.concatenate([left, f[:, :-1]], axis=1)
+    return (fp - fm) * inv2d
+
+
 def sharded_matvec_shardmap(op: HelmholtzOperator, mesh: Mesh):
-    """Hand-written SPMD Helmholtz matvec: rows sharded over mesh axis 0,
-    halos via ppermute. Returns a jitted ``x -> A x`` on sharded (Nx, Ny)."""
-    ax = mesh.axis_names[0]
-    spec2d = P(ax, None)
+    """Hand-written SPMD Helmholtz matvec with the grid sharded over BOTH
+    mesh axes and halos via ppermute. Returns a jitted ``x -> A x`` on a
+    sharded (Nx, Ny) field.
+
+    With a 1-axis mesh, columns stay replicated and only the row-axis term
+    communicates; on a 2D mesh both difference terms exchange one-cell halos
+    along their own mesh axis — the fallback path to hand-tune when GSPMD
+    mispartitions (as it did for staggered FDTD shapes, fdtd/step.py:44-52),
+    now at feature parity with the GSPMD 2D layout."""
+    ax_r = mesh.axis_names[0]
+    ax_c = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    spec2d = P(ax_r, ax_c)
 
     def local_apply(eps, inv_mu, inv_s_row, inv_s_col, x):
-        # columns are unsharded: the column-axis term is embarrassingly local
         def dcol(f, inv2d):
+            if ax_c is not None:
+                return _dcol_halo(f, inv2d, ax_c)
             fp = jnp.pad(f[:, 1:], ((0, 0), (0, 1)))
             fm = jnp.pad(f[:, :-1], ((0, 0), (1, 0)))
             return (fp - fm) * inv2d
@@ -138,13 +171,13 @@ def sharded_matvec_shardmap(op: HelmholtzOperator, mesh: Mesh):
         isr = inv_s_row[:, None]
         tc = dcol(x * isc, op.inv_2dx)
         tc = dcol(tc * inv_mu, op.inv_2dx) * isc
-        tr = _drow_halo(x * isr, op.inv_2dy, ax)
-        tr = _drow_halo(tr * inv_mu, op.inv_2dy, ax) * isr
+        tr = _drow_halo(x * isr, op.inv_2dy, ax_r)
+        tr = _drow_halo(tr * inv_mu, op.inv_2dy, ax_r) * isr
         return -(tc + tr) - (op.omega**2) * eps * x
 
     f = shard_map(
         local_apply, mesh=mesh,
-        in_specs=(spec2d, spec2d, P(ax), P(None), spec2d),
+        in_specs=(spec2d, spec2d, P(ax_r), P(ax_c), spec2d),
         out_specs=spec2d,
     )
     return jax.jit(lambda x: f(op.eps, op.inv_mu, op.inv_s_row, op.inv_s_col, x))

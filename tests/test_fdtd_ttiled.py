@@ -55,6 +55,33 @@ def test_ttiled_source_in_halo_overlap():
     assert err < 1e-5, f"relative field error {err:.3e}"
 
 
+def test_resolve_backend_picks_ttiled_beyond_vmem():
+    from fdtd2d_tpu.fdtd.simulate import resolve_backend
+
+    assert resolve_backend("auto", (2048, 2048)) == "pallas"
+    assert resolve_backend("auto", (4096, 4096)) == "ttiled"
+    assert resolve_backend("jax", (4096, 4096)) == "jax"
+
+
+def test_simulate_ttiled_backend_matches_jax():
+    """End-to-end through simulate(): the ttiled backend reproduces the jax
+    path (both already oracle-validated; this pins the driver wiring)."""
+    import jax.numpy as jnp
+
+    from fdtd2d_tpu.fdtd.simulate import simulate, FDTDConfig
+
+    rows, cols = 64, 128
+    eps = np.full((rows, cols), constants.EPSILON_0)
+    mu = np.full((rows, cols), constants.MU_0)
+    cfg = dict(dt=DT, dx=DX, nsteps=20, source_xy=(rows // 2, cols // 2),
+               source_fc=30e9)
+    (want, _, _), _ = simulate(eps, mu, FDTDConfig(backend="jax", **cfg))
+    (got, _, _), _ = simulate(eps, mu, FDTDConfig(backend="ttiled", **cfg))
+    err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    scale = np.max(np.abs(np.asarray(want)))
+    assert err / scale < 1e-5, f"ttiled-vs-jax driver mismatch: {err/scale:.2e}"
+
+
 def test_ttiled_source_near_boundary():
     # exercises Mur band + corner evolution entangled with the source panel
     err, *_ = _run(64, 128, nsteps=16, K=8, PH=16, src=(7, 9))

@@ -52,6 +52,25 @@ def test_shardmap_matvec_matches_single_device():
     assert err < 1e-13, f"shard_map matvec mismatch: {err:.2e}"
 
 
+def test_shardmap_matvec_2d_mesh_matches_single_device():
+    """2D explicit halo exchange: both difference terms ppermute along their
+    own mesh axis (the hand-SPMD fallback now matches the GSPMD 2D layout)."""
+    N = 64
+    eps, mu, _ = _scene(N)
+    op = make_operator(eps, mu, 1e-3, 1e-3, 17e9, pml_thickness=10,
+                       dtype=jnp.complex128)
+    mesh = make_mesh((4, 2))
+    mv = sharded_matvec_shardmap(op, mesh)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((N, N)) + 1j * rng.standard_normal((N, N)))
+    xs = jax.device_put(x, NamedSharding(mesh, P("x", "y")))
+    want = np.asarray(op.apply(x))
+    got = np.asarray(mv(xs))
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < 1e-13, f"2D shard_map matvec mismatch: {err:.2e}"
+
+
 def test_sharded_fdfd_solve_matches_single_device():
     N = 96
     eps, mu, src = _scene(N)
@@ -68,6 +87,36 @@ def test_sharded_fdfd_solve_matches_single_device():
     err = np.max(np.abs(np.asarray(got.x) - np.asarray(want.x)))
     scale = np.max(np.abs(np.asarray(want.x)))
     assert err / scale < 1e-8, f"sharded solve mismatch: {err / scale:.2e}"
+
+
+def test_sharded_tiled_solve_matches_single_device():
+    """The Schwarz machinery over the mesh: patches sharded over 8 devices
+    (all_gather residual + psum_scatter write-back) must reproduce the
+    single-device two-level krylov solve."""
+    import jax.numpy as jnp
+
+    from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled
+    from fdtd2d_tpu.parallel.tiled_sharded import run_fdfd_tiled_sharded
+
+    N, dx, omega = 160, 1e-3, 17e9
+    eps = np.full((N, N), constants.EPSILON_0)
+    eps[60:100, 40:70] *= 2.5
+    mu = np.full((N, N), constants.MU_0)
+    source = np.zeros((N, N)); source[N // 2, N // 2] = 10.0
+
+    kwargs = dict(patch_size=64, padding=24, pml_thickness=10,
+                  solver_tol=1e-6, solver_maxiter=60, inner_iters=15,
+                  global_pml_thickness=40, dtype=jnp.complex64,
+                  refine_target=1e-7)
+    want, wtrace = run_fdfd_tiled(eps, mu, dx, dx, omega, source,
+                                  mode="krylov", **kwargs)
+    mesh = make_mesh((8,), axis_names=("p",))
+    got, gtrace = run_fdfd_tiled_sharded(eps, mu, dx, dx, omega, source,
+                                         mesh, **kwargs)
+    assert gtrace[-1] < 1e-7, f"sharded tiled true residual: {gtrace[-1]:.2e}"
+    err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    scale = np.max(np.abs(np.asarray(want)))
+    assert err / scale < 1e-5, f"sharded tiled mismatch: {err / scale:.2e}"
 
 
 def test_sharded_fdtd_matches_single_device():
