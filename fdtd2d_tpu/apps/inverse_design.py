@@ -47,24 +47,38 @@ class InverseDesignProblem:
     maxiter: int = 400
 
 
-def lowpass_problem(N: int = 250, n_freqs: int = 10) -> InverseDesignProblem:
+def lowpass_problem(N: int = 250, n_freqs: int = 10,
+                    band: Tuple[float, float] = (10e9, 17e9),
+                    dx: float = 1e-3, tol: float = 1e-6,
+                    maxiter: int = 400) -> InverseDesignProblem:
     """The reference's low-pass-filter scene (inverse_design.py:38-61),
-    parameterized by grid size (the reference hardcodes 250).
+    parameterized by grid size (the reference hardcodes 250) and frequency
+    band. Physical geometry is held fixed at the 250 mm reference domain:
+    indices scale with N while dx scales the cell, so (N=250, dx=1mm) and
+    (N=832, dx=0.3mm) describe the same device at different resolutions.
 
     Geometry, objective, probe, and update rule follow the reference. The
-    units are rescaled to SI (dx = 1 mm, absolute eps/mu, omegas inside the
-    lambda/10..lambda/20 resolution window): at the reference's literal
-    parameters (dx=1, eps~1, omega~1e10..1e11) the field is evanescent by
-    ~10 orders of magnitude and all responses/gradients underflow — its
-    checked-in code cannot run (stub imports), so the degeneracy was never
-    observable there.
+    units are rescaled to SI (absolute eps/mu; the top band frequency must
+    satisfy dx <= lambda/10): at the reference's literal parameters (dx=1,
+    eps~1, omega~1e10..1e11) the field is evanescent by ~10 orders of
+    magnitude and all responses/gradients underflow — its checked-in code
+    cannot run (stub imports), so the degeneracy was never observable there.
+
+    The reference's intended decade sweep (inverse_design.py:44: 10-100 GHz)
+    is ``decade_lowpass_problem`` — it needs dx ~ 0.3 mm => N ~ 832 to
+    resolve 100 GHz on the same physical domain.
     """
     from fdtd2d_tpu import constants
 
-    s = N / 250.0  # scale factor for smaller test instances
+    s = N / 250.0  # index scale factor: keeps the physical geometry fixed
 
     def r(v):  # scale and round an index
         return int(round(v * s))
+
+    c = 1.0 / np.sqrt(constants.EPSILON_0 * constants.MU_0)
+    lam_min = c / band[1]
+    assert dx <= lam_min / 10.0 + 1e-12, (
+        f"dx={dx} too coarse for {band[1]:.3g} Hz (need <= {lam_min / 10:.3g})")
 
     eps_base = jnp.ones((N, N))
     eps_base = eps_base.at[r(100) : r(150), 0 : r(75)].set(3.0)
@@ -75,14 +89,27 @@ def lowpass_problem(N: int = 250, n_freqs: int = 10) -> InverseDesignProblem:
         eps_base=eps_base * constants.EPSILON_0,
         mu=jnp.full((N, N), constants.MU_0),
         source=source,
-        omegas=np.linspace(10e9, 17e9, n_freqs),
+        omegas=np.linspace(band[0], band[1], n_freqs),
         ideal_response=jnp.asarray([1.0] * (n_freqs // 2) + [0.0] * (n_freqs - n_freqs // 2)),
         design_region=(slice(r(75), r(175)), slice(r(75), r(175))),
         probe_region=(slice(r(110), r(140)), slice(r(210), r(210) + 1)),
-        dx=1e-3,
-        dy=1e-3,
+        dx=dx,
+        dy=dx,
         pml_thickness=min(40, max(8, N // 8)),
+        tol=tol,
+        maxiter=maxiter,
     )
+
+
+def decade_lowpass_problem(N: int = 848, n_freqs: int = 10,
+                           **kwargs) -> InverseDesignProblem:
+    """The reference's full decade sweep (10-100 GHz, reference
+    inverse_design.py:44-61) on a grid fine enough to resolve 100 GHz:
+    dx <= lambda(100 GHz)/10 ~ 0.2998 mm on the same 250 mm domain
+    => N >= 834 (default 848: dx = 0.2948 mm, 8-aligned for sharding)."""
+    dx = 250e-3 / N
+    return lowpass_problem(N=N, n_freqs=n_freqs, band=(10e9, 100e9), dx=dx,
+                           **kwargs)
 
 
 def _stack_ops(problem: InverseDesignProblem, dtype):

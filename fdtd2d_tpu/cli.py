@@ -105,10 +105,17 @@ def cmd_tiled(args):
 
 
 def cmd_invdes(args):
-    from fdtd2d_tpu.apps.inverse_design import lowpass_problem, optimize
+    from fdtd2d_tpu.apps.inverse_design import (decade_lowpass_problem,
+                                                lowpass_problem, optimize)
     from fdtd2d_tpu.viz.plots import plot_frequency_response
 
-    problem = lowpass_problem(N=args.size, n_freqs=args.freqs)
+    if args.decade:
+        problem = decade_lowpass_problem(N=max(args.size, 848),
+                                         n_freqs=args.freqs,
+                                         tol=args.tol, maxiter=args.maxiter)
+    else:
+        problem = lowpass_problem(N=args.size, n_freqs=args.freqs,
+                                  tol=args.tol, maxiter=args.maxiter)
     design, responses, history = optimize(
         problem, steps=args.steps, lr=args.lr,
         callback=lambda s, v, d: print(f"step {s}: loss {v:.6f}"))
@@ -262,6 +269,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--steps", type=int, default=100)
     f.add_argument("--freqs", type=int, default=10)
     f.add_argument("--lr", type=float, default=0.05)
+    f.add_argument("--tol", type=float, default=1e-6)
+    f.add_argument("--maxiter", type=int, default=400)
+    f.add_argument("--decade", action="store_true",
+                   help="the reference's full 10-100 GHz sweep on a grid "
+                        "fine enough for 100 GHz (N >= 848)")
     f.add_argument("--out", type=str, default="frequency_response.png")
     f.set_defaults(fn=cmd_invdes)
 

@@ -156,9 +156,9 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                    patch_size: int = 100, padding: int = 30,
                    pml_thickness: int = 10, n_passes: int = 3,
                    relax: float = 0.5, tol: float = 1e-2,
-                   mode: str = "krylov", solver_tol: float = 1e-6,
+                   mode: str = "krylov", solver_tol: float = 1e-4,
                    solver_maxiter: int = 300, global_pml_thickness: int = 40,
-                   inner_iters: int = 20, dtype=jnp.complex64,
+                   inner_iters: int = 8, dtype=jnp.complex64,
                    refine_target: float | None = 1e-6,
                    max_refine_rounds: int = 8,
                    verbose: bool = False):
@@ -312,8 +312,14 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                 rloc = extract(r2)
 
                 def one(op, bl):
-                    return fgmres(op.apply, bl, M, restart=30, maxiter=inner,
-                                  tol=1e-12).x
+                    # restart=inner: fgmres's cost granularity is the restart
+                    # cycle (a cycle always runs its full Arnoldi loop), so
+                    # maxiter<restart would silently still do 30 iterations;
+                    # no reorthogonalization — it's a preconditioner, 1-2
+                    # digits of local accuracy is all the outer level uses
+                    return fgmres(op.apply, bl, M, restart=inner,
+                                  maxiter=inner, tol=1e-12,
+                                  reorthogonalize=False).x
 
                 sols = jax.vmap(one)(ops_k, rloc) * weights
                 zr = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(

@@ -50,8 +50,8 @@ def _pad_patches(origins: np.ndarray, weights: np.ndarray, D: int):
 def run_fdfd_tiled_sharded(
     eps, mu, dx, dy, omega, source, mesh: Mesh, *,
     patch_size: int = 100, padding: int = 30, pml_thickness: int = 10,
-    global_pml_thickness: int = 40, solver_tol: float = 1e-6,
-    solver_maxiter: int = 120, inner_iters: int = 20,
+    global_pml_thickness: int = 40, solver_tol: float = 1e-4,
+    solver_maxiter: int = 120, inner_iters: int = 8,
     dtype=jnp.complex64, refine_target: float | None = 1e-6,
     max_refine_rounds: int = 8, verbose: bool = False,
 ):
@@ -121,8 +121,11 @@ def run_fdfd_tiled_sharded(
         rloc = jax.lax.complex(rr, ii)
 
         def one(op, bl):
-            return fgmres(op.apply, bl, M_l, restart=30, maxiter=inner_iters,
-                          tol=1e-12).x
+            # restart=inner_iters: fgmres cost granularity is the restart
+            # cycle; no reorthogonalization for a preconditioner solve
+            return fgmres(op.apply, bl, M_l, restart=inner_iters,
+                          maxiter=inner_iters, tol=1e-12,
+                          reorthogonalize=False).x
 
         sols = jax.vmap(one)(ops_l, rloc) * wts_l
         zr = jnp.zeros((Nx * Ny,), real).at[flat_l.ravel()].add(
