@@ -146,17 +146,29 @@ def default_preconditioner(shape: Tuple[int, int], dx: float = 1e-3,
 
 
 def generate_dataset(key, num_samples: int, shape: Tuple[int, int],
-                     batch: int = 64, **kwargs):
-    """Generate ``num_samples`` in device-sized batches; returns stacked dict."""
+                     batch: int = 64, to_host: bool | None = None, **kwargs):
+    """Generate ``num_samples`` in device-sized batches; returns stacked dict.
+
+    ``to_host``: accumulate batches as numpy on the HOST (the path for
+    datasets past HBM — 10k scenes at 250^2 are ~12.5 GB). Defaults to
+    automatic: host accumulation above ~2 GB. The result feeds
+    ``train(..., stream_chunk=...)`` without ever materializing on device.
+    """
     M = kwargs.pop("M", None)
     if M is None:
         M = default_preconditioner(shape, kwargs.get("dx", 1e-3),
                                    kwargs.get("pml_thickness", 40))
+    if to_host is None:
+        to_host = num_samples * shape[0] * shape[1] * 5 * 4 > 2 * 1024**3
     outs = []
     n = 0
     while n < num_samples:
         key, k = jax.random.split(key)
         b = min(batch, num_samples - n)
-        outs.append(generate_batch(k, batch=b, shape=shape, M=M, **kwargs))
+        out = generate_batch(k, batch=b, shape=shape, M=M, **kwargs)
+        if to_host:
+            out = jax.tree.map(np.asarray, out)
+        outs.append(out)
         n += b
-    return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+    cat = np.concatenate if to_host else jnp.concatenate
+    return jax.tree.map(lambda *xs: cat(xs), *outs)
