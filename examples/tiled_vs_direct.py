@@ -28,14 +28,14 @@ def main():
     direct = run_fdfd(eps, mu, dx, dx, omega, source, tol=1e-6, maxiter=600)
     print(f"global solve residual: {float(direct.relative_residual):.2e}")
 
-    # NOTE: krylov mode converges to 1e-8 in complex128 (see tests); the
-    # complex64 TPU path currently stalls around 1e-1 residual — outer
-    # mixed-precision iteration is planned. The stationary modes reproduce
-    # the reference's approximate behavior on any backend.
+    # krylov mode: two-level ORAS+PoU preconditioner + f64 iterative
+    # refinement — converges to ~1e-9 TRUE residual in complex64 on the TPU
+    # (the pre-round-2 one-level RAS stalled at ~0.7 here). The stationary
+    # modes reproduce the reference's approximate behavior.
     tiled, trace = run_fdfd_tiled(eps, mu, dx, dx, omega, source,
                                   patch_size=100, padding=30, mode="krylov",
-                                  solver_tol=1e-6, solver_maxiter=600)
-    print(f"tiled (krylov) residual: {trace[-1]:.2e}")
+                                  solver_maxiter=240, refine_target=1e-8)
+    print(f"tiled (krylov) true residual: {trace[-1]:.2e}")
 
     a = np.asarray(jnp.real(direct.x))
     b = np.asarray(jnp.real(tiled))

@@ -116,6 +116,44 @@ def patch_flat_indices(origins: np.ndarray, W: int, Ny: int) -> np.ndarray:
             + (origins[:, 1, None, None] + aw[None, None, :])).ravel()
 
 
+def stack_patch_operators(eps, mu, origins: np.ndarray, W: int, dx, dy,
+                          omega: float, pml_thickness: int,
+                          dtype) -> HelmholtzOperator:
+    """Batched local-PML patch operators as ONE HelmholtzOperator with a
+    leading patch axis, built device-side: the whole eps/mu grids transfer
+    once and the windows come from a vmapped dynamic_slice. (A per-patch
+    Python loop of make_operator costs 2 host->device transfers per patch —
+    ~3500 tunnel round-trips at 4096^2.) Every patch shares the same local
+    stretch factors, broadcast along the patch axis."""
+    from fdtd2d_tpu.ops.cplx import to_device_complex
+    from fdtd2d_tpu.ops.helmholtz import stretch_factors
+
+    P = len(origins)
+    real = jnp.finfo(dtype).dtype
+    origins_dev = jnp.asarray(origins, jnp.int32)
+    eps_d = jnp.asarray(np.asarray(eps), real)
+    imu_d = jnp.asarray(1.0 / np.asarray(mu), real)
+
+    @jax.jit
+    def windows(a):
+        return jax.vmap(
+            lambda o: jax.lax.dynamic_slice(a, (o[0], o[1]), (W, W))
+        )(origins_dev)
+
+    s_r, s_c = stretch_factors(W, W, float(omega), pml_thickness, 2.0, 3)
+    isr = to_device_complex(np.broadcast_to(1.0 / s_r, (P, W)), dtype)
+    isc = to_device_complex(np.broadcast_to(1.0 / s_c, (P, W)), dtype)
+    br = lambda v: jnp.broadcast_to(jnp.asarray(v, real), (P,))
+    return HelmholtzOperator(
+        eps=windows(eps_d), inv_mu=windows(imu_d),
+        inv_s_row=isr, inv_s_col=isc,
+        omega=br(omega),
+        inv_2dx=br(1.0 / (2.0 * float(dx))),
+        inv_2dy=br(1.0 / (2.0 * float(dy))),
+        pml_thickness=pml_thickness, sigma_max=2.0, m=3,
+    )
+
+
 def _ring_mask(W: int, halo: int) -> np.ndarray:
     """The Dirichlet ring: a RING_WIDTH-cell band at offset ``halo`` from the
     window edge. The reference clamps a 1-cell ring (tiled_solver.py:62-99),
@@ -158,7 +196,8 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                    relax: float = 0.5, tol: float = 1e-2,
                    mode: str = "krylov", solver_tol: float = 1e-4,
                    solver_maxiter: int = 300, global_pml_thickness: int = 40,
-                   inner_iters: int = 8, dtype=jnp.complex64,
+                   inner_iters: int = 8, outer_restart: int = 30,
+                   dtype=jnp.complex64,
                    refine_target: float | None = 1e-6,
                    max_refine_rounds: int = 8,
                    verbose: bool = False):
@@ -192,55 +231,13 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
     halo = pml_thickness
 
     origins = generate_patches(Nx, Ny, patch_size, padding)
-    dists = bfs_order(origins, W, source, halo)
-    order = np.argsort(dists, kind="stable")
     P = len(origins)
 
-    ring = jnp.asarray(_ring_mask(W, halo))
-    inner = slice(halo + RING_WIDTH, W - halo - RING_WIDTH)
-
-    # stacked local operators (one per patch) + one shared FDM preconditioner
-    ops = []
-    for (x0, y0) in origins:
-        ops.append(make_operator(
-            eps[x0 : x0 + W, y0 : y0 + W], mu[x0 : x0 + W, y0 : y0 + W],
-            dx, dy, float(omega), pml_thickness=pml_thickness, dtype=dtype))
-    ops_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+    ops_stacked = stack_patch_operators(eps, mu, origins, W, dx, dy,
+                                        float(omega), pml_thickness, dtype)
     M = fdm_preconditioner(W, W, dx, dy, float(omega), pml_thickness,
                            eps_ref=float(np.mean(eps)),
                            mu_ref=1.0 / float(np.mean(1.0 / mu)), dtype=dtype)
-
-    from fdtd2d_tpu.ops.cplx import to_device_complex as _tdc
-
-    rhs = jnp.stack([
-        _tdc(-1j * omega * source[x0 : x0 + W, y0 : y0 + W].astype(np.complex128), dtype)
-        for (x0, y0) in origins
-    ])
-
-    from fdtd2d_tpu.ops.cplx import czeros
-
-    solution = czeros((Nx, Ny), dtype)
-
-    # RAS ownership: each cell belongs to the patch (among those whose
-    # interior covers it) with the nearest window center.
-    owner = np.full((Nx, Ny), -1, np.int32)
-    best = np.full((Nx, Ny), np.inf)
-    gx, gy = np.mgrid[0:Nx, 0:Ny]
-    for p, (x0, y0) in enumerate(origins):
-        cx, cy = x0 + W / 2, y0 + W / 2
-        d2 = (gx - cx) ** 2 + (gy - cy) ** 2
-        h2 = halo + RING_WIDTH  # exclude the clamped ring from ownership
-        covers = ((gx >= x0 + h2) & (gx < x0 + W - h2)
-                  & (gy >= y0 + h2) & (gy < y0 + W - h2))
-        better = covers & (d2 < best)
-        owner[better] = p
-        best[better] = d2[better]
-    owner_valid = jnp.asarray(owner >= 0)
-    ox = origins[:, 0][np.maximum(owner, 0)]
-    oy = origins[:, 1][np.maximum(owner, 0)]
-    owner_idx = jnp.asarray(np.maximum(owner, 0))
-    owner_lx = jnp.asarray(gx - ox)
-    owner_ly = jnp.asarray(gy - oy)
 
     if mode == "krylov":
         gop = make_operator(eps, mu, dx, dy, float(omega),
@@ -286,13 +283,17 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
         # is a compile-time hazard at hundreds of patches)
         weights = jnp.asarray(pou_weights(origins, W, Nx, Ny, halo, padding),
                               real)
-        flat_idx = jnp.asarray(patch_flat_indices(origins, W, Ny))
+        # int32: with x64 enabled the default int64 indices double the
+        # scatter footprint (at 4096^2 with 1764 patches that is ~360 MB)
+        flat_idx = jnp.asarray(
+            patch_flat_indices(origins, W, Ny).astype(np.int32))
 
         from fdtd2d_tpu.ops.cplx import cdot, cnorm as _cnorm
 
-        @partial(jax.jit, static_argnames=("maxiter", "tol", "inner"))
+        @partial(jax.jit, static_argnames=("maxiter", "tol", "inner", "restart"))
         def solve_global(bb, gop, ops_k, M, Mg, weights, flat_idx,
-                         origins_dev, *, maxiter, tol, inner):
+                         origins_dev, *, maxiter, tol, inner,
+                         restart=outer_restart):
             # complex arrays must be jit ARGUMENTS on this backend — complex
             # closure constants become HLO literals, which are unimplemented
 
@@ -338,7 +339,7 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                 alpha = cdot(az2, r2) / jnp.where(denom == 0, 1.0, denom)
                 return z1 + alpha * z2
 
-            return fgmres(gop.apply, bb, two_level, restart=30,
+            return fgmres(gop.apply, bb, two_level, restart=restart,
                           maxiter=maxiter, tol=tol)
 
         def inner_solve(rhs):
@@ -373,6 +374,47 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
             print(f"krylov tiled: res={float(out.relative_residual):.3e} "
                   f"iters={int(out.iterations)}")
         return out.x, [float(out.relative_residual)]
+
+    # ------- stationary-mode-only setup (the reference's own algorithm) -----
+    # The O(P * Nx * Ny) host-side ownership map below is a stationary-sweep
+    # artifact; keeping it out of the krylov path matters at scale (at 4096^2
+    # with ~1700 patches it is tens of host GFLOPs).
+    dists = bfs_order(origins, W, source, halo)
+    order = np.argsort(dists, kind="stable")
+    ring = jnp.asarray(_ring_mask(W, halo))
+    inner = slice(halo + RING_WIDTH, W - halo - RING_WIDTH)
+
+    from fdtd2d_tpu.ops.cplx import to_device_complex as _tdc
+
+    rhs = jnp.stack([
+        _tdc(-1j * omega * source[x0 : x0 + W, y0 : y0 + W].astype(np.complex128), dtype)
+        for (x0, y0) in origins
+    ])
+
+    from fdtd2d_tpu.ops.cplx import czeros
+
+    solution = czeros((Nx, Ny), dtype)
+
+    # RAS ownership: each cell belongs to the patch (among those whose
+    # interior covers it) with the nearest window center.
+    owner = np.full((Nx, Ny), -1, np.int32)
+    best = np.full((Nx, Ny), np.inf)
+    gx, gy = np.mgrid[0:Nx, 0:Ny]
+    for p, (x0, y0) in enumerate(origins):
+        cx, cy = x0 + W / 2, y0 + W / 2
+        d2 = (gx - cx) ** 2 + (gy - cy) ** 2
+        h2 = halo + RING_WIDTH  # exclude the clamped ring from ownership
+        covers = ((gx >= x0 + h2) & (gx < x0 + W - h2)
+                  & (gy >= y0 + h2) & (gy < y0 + W - h2))
+        better = covers & (d2 < best)
+        owner[better] = p
+        best[better] = d2[better]
+    owner_valid = jnp.asarray(owner >= 0)
+    ox = origins[:, 0][np.maximum(owner, 0)]
+    oy = origins[:, 1][np.maximum(owner, 0)]
+    owner_idx = jnp.asarray(np.maximum(owner, 0))
+    owner_lx = jnp.asarray(gx - ox)
+    owner_ly = jnp.asarray(gy - oy)
 
     solve = jax.jit(partial(_solve_patches_batched, tol=solver_tol,
                             maxiter=solver_maxiter))

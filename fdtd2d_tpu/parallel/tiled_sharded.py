@@ -77,11 +77,10 @@ def run_fdfd_tiled_sharded(
     gop = make_operator(eps, mu, dx, dy, float(omega),
                         pml_thickness=global_pml_thickness, dtype=dtype)
     Mg = fdm_preconditioner_for(gop)
-    ops = [make_operator(eps[x0:x0 + W, y0:y0 + W], mu[x0:x0 + W, y0:y0 + W],
-                         dx, dy, float(omega), pml_thickness=pml_thickness,
-                         dtype=dtype)
-           for (x0, y0) in origins]
-    ops_stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+    from fdtd2d_tpu.fdfd.tiled import stack_patch_operators
+
+    ops_stacked = stack_patch_operators(eps, mu, origins, W, dx, dy,
+                                        float(omega), pml_thickness, dtype)
     M = fdm_preconditioner(W, W, dx, dy, float(omega), pml_thickness,
                            eps_ref=float(np.mean(eps)),
                            mu_ref=1.0 / float(np.mean(1.0 / mu)), dtype=dtype)
