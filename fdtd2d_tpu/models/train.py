@@ -223,12 +223,19 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState):
 
 def compute_scales_host(data: dict) -> dict:
     """:func:`compute_scales` on host numpy arrays (streaming datasets that
-    must not be materialized on device)."""
+    must not be materialized on device). Scales keep each array's dtype —
+    numpy reductions return float64 scalars, which would silently promote
+    every streamed batch (and the batch_stats) to f64 under x64."""
+    def s(key, stat):
+        v = np.asarray(data[key])
+        return jnp.asarray(np.asarray(stat(v), v.dtype))
+
     return {
-        "eps": jnp.asarray(np.mean(data["eps"])),
-        "mu": jnp.asarray(np.mean(data["mu"])),
-        "Ez": jnp.asarray(np.std(data["Ez"]) + 1e-30),
-        "omega": jnp.asarray(1e10, jnp.asarray(data["omega"]).dtype),
+        "eps": s("eps", np.mean),
+        "mu": s("mu", np.mean),
+        "Ez": s("Ez", lambda a: np.std(a) + 1e-30),
+        "omega": jnp.asarray(
+            np.asarray(1e10, np.asarray(data["omega"]).dtype)),
     }
 
 
@@ -272,6 +279,9 @@ def train(key, data: dict, config: TrainConfig,
                 f"stream_chunk={stream_chunk} must be a multiple of "
                 f"batch_size={config.batch_size}")
         scales = ckpt_scales or compute_scales_host(raw)
+        # f32 throughout the streamed path (model/optimizer are f32; any f64
+        # leak via x64 promotion breaks the train_epoch scan carry)
+        scales = jax.tree.map(lambda v: v.astype(jnp.float32), scales)
         arrays = None  # host-resident; chunks normalized after transfer
     else:
         scales = ckpt_scales or compute_scales(raw)
@@ -291,7 +301,11 @@ def train(key, data: dict, config: TrainConfig,
             chunk_losses = []
             for c0 in range(0, n - stream_chunk + 1, stream_chunk):
                 idx = perm_np[c0 : c0 + stream_chunk]
-                dev = {k: jnp.asarray(np.asarray(v)[idx]) for k, v in raw.items()}
+                # f32: the UNet/optimizer state is float32; under x64 a
+                # float64 host array would promote the batch_stats and break
+                # the train_epoch scan carry
+                dev = {k: jnp.asarray(np.asarray(v)[idx], jnp.float32)
+                       for k, v in raw.items()}
                 dev = normalize(dev, scales)
                 k_epoch, k_chunk = jax.random.split(k_epoch)
                 state, loss = train_epoch(

@@ -93,6 +93,36 @@ def test_generate_batch_solves():
     assert np.all(np.asarray(out["omega"]) <= 30e9)
 
 
+def test_generate_dataset_host_accumulation():
+    """to_host=True accumulates numpy batches (datasets past HBM feed the
+    streaming train path without ever living on device)."""
+    from fdtd2d_tpu.models.datagen import generate_dataset
+
+    shape = (48, 48)
+    M = default_preconditioner(shape, pml_thickness=8)
+    data = generate_dataset(KEY, 6, shape, batch=4, pml_thickness=8,
+                            maxiter=100, M=M, to_host=True)
+    assert isinstance(data["Ez"], np.ndarray)
+    assert data["Ez"].shape == (6, 48, 48)
+    assert np.all(np.isfinite(data["Ez"]))
+
+
+def test_train_streaming_chunks():
+    """stream_chunk path: host data, chunked transfer, same API surface."""
+    from fdtd2d_tpu.models.train import TrainConfig, train
+
+    data = {k: np.asarray(v) for k, v in _tiny_data(n=12).items()}
+    cfg = TrainConfig(batch_size=2, num_epochs=2)
+    evals = []
+    state, losses, scales = train(
+        jax.random.PRNGKey(0), data, cfg, stream_chunk=4,
+        eval_every=2, eval_callback=lambda e, p, t: evals.append((e, p.shape)),
+        state=create_state(jax.random.PRNGKey(2), (32, 32), cfg,
+                           model=_tiny_model()))
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert evals and evals[0][1] == (32, 32)
+
+
 def _tiny_data(n=8, hw=32):
     k = jax.random.PRNGKey(1)
     return {
