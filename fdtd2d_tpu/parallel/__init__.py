@@ -5,6 +5,7 @@ from fdtd2d_tpu.parallel.sharded import (
     simulate_sharded,
     sharded_matvec_shardmap,
 )
+from fdtd2d_tpu.parallel.tiled_sharded import run_fdfd_tiled_sharded
 
 __all__ = [
     "make_mesh",
@@ -13,4 +14,5 @@ __all__ = [
     "solve_fdfd_sharded",
     "simulate_sharded",
     "sharded_matvec_shardmap",
+    "run_fdfd_tiled_sharded",
 ]
