@@ -116,6 +116,15 @@ def patch_flat_indices(origins: np.ndarray, W: int, Ny: int) -> np.ndarray:
             + (origins[:, 1, None, None] + aw[None, None, :])).ravel()
 
 
+@partial(jax.jit, static_argnames=("W",))
+def _extract_real_windows(a, origins_dev, *, W: int):
+    """(P, W, W) windows of a real array at the given origins (module-level
+    jit so repeated solves reuse one compilation)."""
+    return jax.vmap(
+        lambda o: jax.lax.dynamic_slice(a, (o[0], o[1]), (W, W))
+    )(origins_dev)
+
+
 def stack_patch_operators(eps, mu, origins: np.ndarray, W: int, dx, dy,
                           omega: float, pml_thickness: int,
                           dtype) -> HelmholtzOperator:
@@ -134,11 +143,8 @@ def stack_patch_operators(eps, mu, origins: np.ndarray, W: int, dx, dy,
     eps_d = jnp.asarray(np.asarray(eps), real)
     imu_d = jnp.asarray(1.0 / np.asarray(mu), real)
 
-    @jax.jit
     def windows(a):
-        return jax.vmap(
-            lambda o: jax.lax.dynamic_slice(a, (o[0], o[1]), (W, W))
-        )(origins_dev)
+        return _extract_real_windows(a, origins_dev, W=W)
 
     s_r, s_c = stretch_factors(W, W, float(omega), pml_thickness, 2.0, 3)
     isr = to_device_complex(np.broadcast_to(1.0 / s_r, (P, W)), dtype)
@@ -190,13 +196,74 @@ def _solve_patches_batched(ops_stacked, M, rings, bvals, rhs, tol, maxiter):
     return jax.vmap(one)(ops_stacked, rings, bvals, rhs)
 
 
+@partial(jax.jit,
+         static_argnames=("W", "maxiter", "tol", "inner", "restart"))
+def _solve_global_two_level(bb, gop, ops_k, M, Mg, weights, flat_idx,
+                            origins_dev, *, W, maxiter, tol, inner, restart):
+    """Two-level (coarse FDM + PoU-ORAS patches) preconditioned FGMRES on
+    the global operator. MODULE-LEVEL jit: defining this inside the driver
+    created a fresh closure per call, re-tracing and re-lowering the whole
+    program every solve (~15 s per warm call at 1024^2 on the remote-compile
+    stack). Complex arrays enter as jit ARGUMENTS — complex closure
+    constants become HLO literals, which are unimplemented on this backend.
+    """
+    from fdtd2d_tpu.ops.cplx import cdot, cnorm
+
+    Nx, Ny = gop.shape
+    real = jnp.finfo(bb.dtype).dtype
+
+    def extract(r2):
+        # batched window extraction; complex gather is unimplemented on
+        # this TPU backend, so gather real/imag separately
+        re, im = jnp.real(r2), jnp.imag(r2)
+
+        def one(o):
+            return (jax.lax.dynamic_slice(re, (o[0], o[1]), (W, W)),
+                    jax.lax.dynamic_slice(im, (o[0], o[1]), (W, W)))
+
+        rr, ii = jax.vmap(one)(origins_dev)
+        return jax.lax.complex(rr, ii)
+
+    def oras(r2):
+        rloc = extract(r2)
+
+        def one(op, bl):
+            # restart=inner: fgmres's cost granularity is the restart cycle
+            # (a cycle always runs its full Arnoldi loop), so maxiter<restart
+            # would silently still do 30 iterations; no reorthogonalization —
+            # it's a preconditioner, 1-2 digits of local accuracy is all the
+            # outer level uses
+            return fgmres(op.apply, bl, M, restart=inner, maxiter=inner,
+                          tol=1e-12, reorthogonalize=False).x
+
+        sols = jax.vmap(one)(ops_k, rloc) * weights
+        zr = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(
+            jnp.real(sols).ravel())
+        zi = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(
+            jnp.imag(sols).ravel())
+        return jax.lax.complex(zr, zi).reshape(Nx, Ny)
+
+    def two_level(r):
+        r2d = r.reshape(Nx, Ny)
+        z1 = Mg(r2d)
+        r2 = r2d - gop.apply(z1)
+        z2 = oras(r2)
+        az2 = gop.apply(z2)
+        denom = cnorm(az2) ** 2
+        alpha = cdot(az2, r2) / jnp.where(denom == 0, 1.0, denom)
+        return z1 + alpha * z2
+
+    return fgmres(gop.apply, bb, two_level, restart=restart,
+                  maxiter=maxiter, tol=tol)
+
+
 def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                    patch_size: int = 100, padding: int = 30,
                    pml_thickness: int = 10, n_passes: int = 3,
                    relax: float = 0.5, tol: float = 1e-2,
                    mode: str = "krylov", solver_tol: float = 1e-4,
                    solver_maxiter: int = 300, global_pml_thickness: int = 40,
-                   inner_iters: int = 8, outer_restart: int = 30,
+                   inner_iters: int = 4, outer_restart: int = 30,
                    dtype=jnp.complex64,
                    refine_target: float | None = 1e-6,
                    max_refine_rounds: int = 8,
@@ -288,65 +355,11 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
         flat_idx = jnp.asarray(
             patch_flat_indices(origins, W, Ny).astype(np.int32))
 
-        from fdtd2d_tpu.ops.cplx import cdot, cnorm as _cnorm
-
-        @partial(jax.jit, static_argnames=("maxiter", "tol", "inner", "restart"))
-        def solve_global(bb, gop, ops_k, M, Mg, weights, flat_idx,
-                         origins_dev, *, maxiter, tol, inner,
-                         restart=outer_restart):
-            # complex arrays must be jit ARGUMENTS on this backend — complex
-            # closure constants become HLO literals, which are unimplemented
-
-            def extract(r2):
-                # batched window extraction; complex gather is unimplemented
-                # on this TPU backend, so gather real/imag separately
-                re, im = jnp.real(r2), jnp.imag(r2)
-
-                def one(o):
-                    return (jax.lax.dynamic_slice(re, (o[0], o[1]), (W, W)),
-                            jax.lax.dynamic_slice(im, (o[0], o[1]), (W, W)))
-
-                rr, ii = jax.vmap(one)(origins_dev)
-                return jax.lax.complex(rr, ii)
-
-            def oras(r2):
-                rloc = extract(r2)
-
-                def one(op, bl):
-                    # restart=inner: fgmres's cost granularity is the restart
-                    # cycle (a cycle always runs its full Arnoldi loop), so
-                    # maxiter<restart would silently still do 30 iterations;
-                    # no reorthogonalization — it's a preconditioner, 1-2
-                    # digits of local accuracy is all the outer level uses
-                    return fgmres(op.apply, bl, M, restart=inner,
-                                  maxiter=inner, tol=1e-12,
-                                  reorthogonalize=False).x
-
-                sols = jax.vmap(one)(ops_k, rloc) * weights
-                zr = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(
-                    jnp.real(sols).ravel())
-                zi = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(
-                    jnp.imag(sols).ravel())
-                return jax.lax.complex(zr, zi).reshape(Nx, Ny)
-
-            def two_level(r):
-                r2d = r.reshape(Nx, Ny)
-                z1 = Mg(r2d)
-                r2 = r2d - gop.apply(z1)
-                z2 = oras(r2)
-                az2 = gop.apply(z2)
-                denom = _cnorm(az2) ** 2
-                alpha = cdot(az2, r2) / jnp.where(denom == 0, 1.0, denom)
-                return z1 + alpha * z2
-
-            return fgmres(gop.apply, bb, two_level, restart=restart,
-                          maxiter=maxiter, tol=tol)
-
         def inner_solve(rhs):
-            return solve_global(rhs, gop, ops_stacked, M, Mg, weights,
-                                flat_idx, origins_dev,
-                                maxiter=solver_maxiter, tol=solver_tol,
-                                inner=inner_iters).x
+            return _solve_global_two_level(
+                rhs, gop, ops_stacked, M, Mg, weights, flat_idx, origins_dev,
+                W=W, maxiter=solver_maxiter, tol=solver_tol,
+                inner=inner_iters, restart=outer_restart).x
 
         if refine_target is not None:
             # mixed-precision iterative refinement: f64 split-complex
@@ -367,9 +380,10 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                       f"rounds={out.rounds} trace={out.trace}")
             return split_to_complex(out.x, dtype), out.trace
 
-        out = solve_global(b, gop, ops_stacked, M, Mg, weights, flat_idx,
-                           origins_dev, maxiter=solver_maxiter,
-                           tol=solver_tol, inner=inner_iters)
+        out = _solve_global_two_level(
+            b, gop, ops_stacked, M, Mg, weights, flat_idx, origins_dev,
+            W=W, maxiter=solver_maxiter, tol=solver_tol, inner=inner_iters,
+            restart=outer_restart)
         if verbose:
             print(f"krylov tiled: res={float(out.relative_residual):.3e} "
                   f"iters={int(out.iterations)}")
