@@ -17,8 +17,7 @@ through a (missing) sparse direct solve, un-jitted; here:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,7 @@ This replaces the reference's reliance on float64 scipy spsolve accuracy
 
 from __future__ import annotations
 
-from typing import Callable, List, NamedTuple, Optional, Tuple
+from typing import Callable, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Callable, Optional, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -184,8 +184,8 @@ def run_fdfd(eps, mu, dx, dy, omega, source, *, pml_thickness: int = 40,
         return solve_fdfd(op, b, **solve_kwargs)
 
     from fdtd2d_tpu.fdfd.refine import refine
-    from fdtd2d_tpu.ops.splitc import (Split, make_operator_f64,
-                                       split_from_numpy, split_to_complex)
+    from fdtd2d_tpu.ops.splitc import (make_operator_f64, split_from_numpy,
+                                       split_to_complex)
 
     M, builtin = resolve_preconditioner(op, solve_kwargs.pop("preconditioner",
                                                              "fdm"))

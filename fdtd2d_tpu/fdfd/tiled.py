@@ -23,9 +23,7 @@ TPU-native redesign:
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import List, Tuple
 
 import numpy as np
 import jax
@@ -34,7 +32,6 @@ import jax.numpy as jnp
 from fdtd2d_tpu.ops.helmholtz import make_operator, HelmholtzOperator
 from fdtd2d_tpu.ops.fdm import fdm_preconditioner
 from fdtd2d_tpu.ops.krylov import fgmres
-from fdtd2d_tpu import constants
 
 
 def generate_patches(Nx: int, Ny: int, patch_size: int, padding: int) -> np.ndarray:
