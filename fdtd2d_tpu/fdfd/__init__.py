@@ -1,7 +1,7 @@
 from fdtd2d_tpu.ops.helmholtz import make_operator, HelmholtzOperator
 from fdtd2d_tpu.fdfd.solver import solve_fdfd, run_fdfd, shifted_laplacian_preconditioner
 from fdtd2d_tpu.fdfd.autodiff import solve_helmholtz_differentiable
-from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled
+from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled, TiledSolver
 from fdtd2d_tpu.fdfd.refine import refine, RefineResult
 
 __all__ = [
@@ -10,6 +10,7 @@ __all__ = [
     "solve_fdfd",
     "run_fdfd",
     "run_fdfd_tiled",
+    "TiledSolver",
     "refine",
     "RefineResult",
     "shifted_laplacian_preconditioner",

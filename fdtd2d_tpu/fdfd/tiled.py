@@ -254,6 +254,133 @@ def _solve_global_two_level(bb, gop, ops_k, M, Mg, weights, flat_idx,
                   maxiter=maxiter, tol=tol)
 
 
+class TiledSolver:
+    """Build-once / solve-many two-level tiled FDFD solver for one scene.
+
+    The two-level preconditioner, each design choice pinned by measured
+    contraction of ||r - A M r|| / ||r|| at 512^2 (this container):
+
+    - Coarse level Mg: the global FDM preconditioner (exact uniform-medium
+      UPML inverse). One-level patch corrections alone have no global
+      coupling — on indefinite Helmholtz the outer Krylov then needs
+      O(patch-count) iterations and stalls at the c64 rounding floor
+      (measured: 25 patches at 512^2 stall at 0.74; 9 patches at 160^2
+      converge).
+    - Local level: ORAS patch corrections — the patch operators carry their
+      own local PML (absorbing boundaries, exactly the reference's per-patch
+      construction, tiled_solver.py:47-56). Zero-Dirichlet window
+      restrictions are RESONANT for indefinite Helmholtz and amplify the
+      residual ~9x (measured, in c64 AND c128); local PML fixes that. Patch
+      solutions are blended with a smooth partition of unity (cosine taper
+      across the overlap): hard ownership seams put O(||A|| * jump) spikes
+      into A z (measured amplification ~9x even with absorbing patches).
+    - The local correction is applied with the residual-minimizing complex
+      step z = z1 + alpha* z2, alpha* = <A z2, r - A z1> / ||A z2||^2 — at
+      mild contrast the coarse level dominates (alpha ~ 0.02 measured) and
+      the combined contraction equals the coarse one (0.111); at strong
+      contrast, where FDM degrades, the patch solves (which see the true
+      eps/mu) take over. Never worse than either level alone.
+
+    Construction does ALL host-side setup and host->device transfer (scene
+    fields, FDM eigenfactors, partition-of-unity weights, the f64 twin
+    operator) — on this environment's tunneled TPU those transfers dominate
+    one-shot solves, so sweeps over sources (datagen, optimization loops)
+    should hold one TiledSolver and call :meth:`solve` per source.
+    """
+
+    def __init__(self, eps, mu, dx, dy, omega, *, patch_size: int = 100,
+                 padding: int = 30, pml_thickness: int = 10,
+                 global_pml_thickness: int = 40, dtype=jnp.complex64,
+                 inner_iters: int = 4, outer_restart: int = 30,
+                 _prebuilt=None):
+        from fdtd2d_tpu.ops.fdm import fdm_preconditioner_for
+        from fdtd2d_tpu.ops.splitc import make_operator_f64
+
+        eps = np.asarray(eps)
+        mu = np.asarray(mu)
+        self.shape = eps.shape
+        Nx, Ny = self.shape
+        self.W = W = patch_size + 2 * padding
+        self.dtype = dtype
+        self.omega = float(omega)
+        self.inner_iters = inner_iters
+        self.outer_restart = outer_restart
+        real = jnp.finfo(dtype).dtype
+
+        if _prebuilt is not None:
+            origins, ops_stacked, M = _prebuilt
+        else:
+            origins = generate_patches(Nx, Ny, patch_size, padding)
+            ops_stacked = stack_patch_operators(
+                eps, mu, origins, W, dx, dy, self.omega, pml_thickness, dtype)
+            M = fdm_preconditioner(W, W, dx, dy, self.omega, pml_thickness,
+                                   eps_ref=float(np.mean(eps)),
+                                   mu_ref=1.0 / float(np.mean(1.0 / mu)),
+                                   dtype=dtype)
+        self.ops_stacked = ops_stacked
+        self.M = M
+        self.gop = make_operator(eps, mu, dx, dy, self.omega,
+                                 pml_thickness=global_pml_thickness,
+                                 dtype=dtype)
+        self.Mg = fdm_preconditioner_for(self.gop)
+        self.weights = jnp.asarray(
+            pou_weights(origins, W, Nx, Ny, pml_thickness, padding), real)
+        # int32: with x64 enabled the default int64 indices double the
+        # scatter footprint (at 4096^2 with 1764 patches that is ~360 MB)
+        self.flat_idx = jnp.asarray(
+            patch_flat_indices(origins, W, Ny).astype(np.int32))
+        self.origins_dev = jnp.asarray(origins, jnp.int32)
+        self.op64 = make_operator_f64(eps, mu, dx, dy, self.omega,
+                                      pml_thickness=global_pml_thickness)
+
+    def solve(self, source, *, rhs_scale=None, solver_tol: float = 1e-4,
+              solver_maxiter: int = 300, refine_target: float | None = 1e-6,
+              max_refine_rounds: int = 8, verbose: bool = False):
+        """Solve for one source. Returns ``(field, residual_trace)`` — with
+        ``refine_target`` set the trace holds TRUE f64 residuals per
+        refinement round; the RHS is ``rhs_scale * source`` (default
+        ``-1j*omega``, the reference tiled convention, tiled_solver.py:57).
+        """
+        from fdtd2d_tpu.ops.cplx import to_device_complex
+
+        source = np.asarray(source)
+        scale = (-1j * self.omega) if rhs_scale is None else complex(rhs_scale)
+
+        def inner_solve(rhs):
+            return _solve_global_two_level(
+                rhs, self.gop, self.ops_stacked, self.M, self.Mg,
+                self.weights, self.flat_idx, self.origins_dev, W=self.W,
+                maxiter=solver_maxiter, tol=solver_tol,
+                inner=self.inner_iters, restart=self.outer_restart).x
+
+        if refine_target is not None:
+            # mixed-precision iterative refinement: f64 split-complex
+            # residuals push the TRUE residual past the c64 floor
+            from fdtd2d_tpu.fdfd.refine import refine
+            from fdtd2d_tpu.ops.splitc import (Split, split_to_complex)
+
+            b_host = np.asarray(source, np.complex128) * scale
+            b64 = Split(jnp.asarray(b_host.real), jnp.asarray(b_host.imag))
+            out = refine(self.op64, b64, inner_solve, target=refine_target,
+                         max_rounds=max_refine_rounds, inner_dtype=self.dtype)
+            if verbose:
+                print(f"krylov tiled (refined): true res="
+                      f"{float(out.relative_residual):.3e} "
+                      f"rounds={out.rounds} trace={out.trace}")
+            return split_to_complex(out.x, self.dtype), out.trace
+
+        b = to_device_complex(np.asarray(source, np.complex128) * scale,
+                              self.dtype)
+        out = _solve_global_two_level(
+            b, self.gop, self.ops_stacked, self.M, self.Mg, self.weights,
+            self.flat_idx, self.origins_dev, W=self.W, maxiter=solver_maxiter,
+            tol=solver_tol, inner=self.inner_iters, restart=self.outer_restart)
+        if verbose:
+            print(f"krylov tiled: res={float(out.relative_residual):.3e} "
+                  f"iters={int(out.iterations)}")
+        return out.x, [float(out.relative_residual)]
+
+
 def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                    patch_size: int = 100, padding: int = 30,
                    pml_thickness: int = 10, n_passes: int = 3,
@@ -304,87 +431,17 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                            mu_ref=1.0 / float(np.mean(1.0 / mu)), dtype=dtype)
 
     if mode == "krylov":
-        gop = make_operator(eps, mu, dx, dy, float(omega),
-                            pml_thickness=global_pml_thickness, dtype=dtype)
-        from fdtd2d_tpu.ops.cplx import to_device_complex as _tdc2
-
-        b = _tdc2(-1j * omega * source.astype(np.complex128), dtype)
-        origins_dev = jnp.asarray(origins, jnp.int32)
-        real = jnp.finfo(dtype).dtype
-
-        # Two-level preconditioner, both levels validated by measured
-        # contraction of ||r - A M r|| / ||r|| at 512^2 (this container):
-        #
-        # - Coarse level Mg: the global FDM preconditioner (exact uniform-
-        #   medium UPML inverse). One-level patch corrections alone have no
-        #   global coupling — on indefinite Helmholtz the outer Krylov then
-        #   needs O(patch-count) iterations and stalls at the c64 rounding
-        #   floor (measured: 25 patches at 512^2 stall at 0.74; 9 patches at
-        #   160^2 converge).
-        # - Local level: ORAS patch corrections — the patch operators carry
-        #   their own local PML (absorbing boundaries, exactly the
-        #   reference's per-patch construction, tiled_solver.py:47-56).
-        #   Zero-Dirichlet window restrictions are RESONANT for indefinite
-        #   Helmholtz and amplify the residual ~9x (measured, in c64 AND
-        #   c128); local PML fixes that. Patch solutions are blended with a
-        #   smooth partition of unity (cosine taper across the overlap):
-        #   hard ownership seams put O(||A|| * jump) spikes into A z
-        #   (measured amplification ~9x even with absorbing patches).
-        # - The local correction is applied with the residual-minimizing
-        #   complex step:  z = z1 + alpha* z2,
-        #   alpha* = <A z2, r - A z1> / ||A z2||^2 — at mild contrast the
-        #   coarse level dominates (alpha ~ 0.02 measured) and the combined
-        #   contraction equals the coarse one (0.111); at strong contrast,
-        #   where FDM degrades, the patch solves (which see the true eps/mu)
-        #   take over. Never worse than either level alone.
-        from fdtd2d_tpu.ops.fdm import fdm_preconditioner_for
-
-        Mg = fdm_preconditioner_for(gop)
-
-        # smooth partition of unity (see pou_weights) + flat scatter-add
-        # indices for the overlapping write-back (one gather-free scatter
-        # instead of a per-patch Python loop of updates — the unrolled form
-        # is a compile-time hazard at hundreds of patches)
-        weights = jnp.asarray(pou_weights(origins, W, Nx, Ny, halo, padding),
-                              real)
-        # int32: with x64 enabled the default int64 indices double the
-        # scatter footprint (at 4096^2 with 1764 patches that is ~360 MB)
-        flat_idx = jnp.asarray(
-            patch_flat_indices(origins, W, Ny).astype(np.int32))
-
-        def inner_solve(rhs):
-            return _solve_global_two_level(
-                rhs, gop, ops_stacked, M, Mg, weights, flat_idx, origins_dev,
-                W=W, maxiter=solver_maxiter, tol=solver_tol,
-                inner=inner_iters, restart=outer_restart).x
-
-        if refine_target is not None:
-            # mixed-precision iterative refinement: f64 split-complex
-            # residuals push the TRUE residual past the c64 floor
-            from fdtd2d_tpu.fdfd.refine import refine
-            from fdtd2d_tpu.ops.splitc import (
-                Split, make_operator_f64, split_to_complex)
-
-            op64 = make_operator_f64(eps, mu, dx, dy, float(omega),
-                                     pml_thickness=global_pml_thickness)
-            b64 = Split(jnp.zeros((Nx, Ny), jnp.float64),
-                        jnp.asarray(-omega * source, jnp.float64))
-            out = refine(op64, b64, inner_solve, target=refine_target,
-                         max_rounds=max_refine_rounds, inner_dtype=dtype)
-            if verbose:
-                print(f"krylov tiled (refined): true res="
-                      f"{float(out.relative_residual):.3e} "
-                      f"rounds={out.rounds} trace={out.trace}")
-            return split_to_complex(out.x, dtype), out.trace
-
-        out = _solve_global_two_level(
-            b, gop, ops_stacked, M, Mg, weights, flat_idx, origins_dev,
-            W=W, maxiter=solver_maxiter, tol=solver_tol, inner=inner_iters,
-            restart=outer_restart)
-        if verbose:
-            print(f"krylov tiled: res={float(out.relative_residual):.3e} "
-                  f"iters={int(out.iterations)}")
-        return out.x, [float(out.relative_residual)]
+        solver = TiledSolver(
+            eps, mu, dx, dy, omega, patch_size=patch_size, padding=padding,
+            pml_thickness=pml_thickness,
+            global_pml_thickness=global_pml_thickness, dtype=dtype,
+            inner_iters=inner_iters, outer_restart=outer_restart,
+            _prebuilt=(origins, ops_stacked, M))
+        return solver.solve(source, solver_tol=solver_tol,
+                            solver_maxiter=solver_maxiter,
+                            refine_target=refine_target,
+                            max_refine_rounds=max_refine_rounds,
+                            verbose=verbose)
 
     # ------- stationary-mode-only setup (the reference's own algorithm) -----
     # The O(P * Nx * Ny) host-side ownership map below is a stationary-sweep

@@ -91,6 +91,28 @@ def test_tiled_krylov_complex64_refined():
     assert err < 1e-4, f"c64 krylov field error vs c128 global: {err:.2e}"
 
 
+def test_tiled_solver_reuse_across_sources():
+    """TiledSolver: one scene build, multiple sources — the production sweep
+    pattern (per-call scene transfer dominates one-shot solves on the
+    tunneled TPU)."""
+    from fdtd2d_tpu.fdfd.tiled import TiledSolver
+
+    N, dx, omega = 160, 1e-3, 17e9
+    eps, mu, _ = _scene(N)
+    solver = TiledSolver(eps, mu, dx, dx, omega, patch_size=64, padding=24,
+                         pml_thickness=10, inner_iters=8)
+
+    s1 = np.zeros((N, N)); s1[N // 2, N // 2] = 10.0
+    s2 = np.zeros((N, N)); s2[N // 3, 2 * N // 3] = 5.0
+    x1, t1 = solver.solve(s1, solver_tol=1e-5, solver_maxiter=60,
+                          refine_target=1e-7)
+    x2, t2 = solver.solve(s2, solver_tol=1e-5, solver_maxiter=60,
+                          refine_target=1e-7)
+    assert t1[-1] < 1e-7 and t2[-1] < 1e-7
+    d = np.abs(np.asarray(x1) - np.asarray(x2)).max()
+    assert d > 0, "distinct sources must give distinct fields"
+
+
 @pytest.mark.parametrize("mode", ["additive", "multiplicative"])
 def test_tiled_stationary_modes_approximate(mode):
     """The stationary Schwarz sweeps (the reference's algorithm) converge to
