@@ -91,6 +91,38 @@ def test_tiled_krylov_complex64_refined():
     assert err < 1e-4, f"c64 krylov field error vs c128 global: {err:.2e}"
 
 
+def test_pou_weights_partition_of_unity():
+    """The PoU weights must sum to exactly 1 wherever any patch core covers
+    (seam discontinuities in the blended correction put O(||A||*jump) spikes
+    into A z — the measured 9x amplification this blending exists to kill)."""
+    from fdtd2d_tpu.fdfd.tiled import pou_weights
+
+    N, ps, pad, pml = 160, 64, 24, 10
+    W = ps + 2 * pad
+    origins = generate_patches(N, N, ps, pad)
+    w = pou_weights(origins, W, N, N, pml, pad)
+    assert w.min() >= 0.0 and w.max() <= 1.0
+    total = np.zeros((N, N))
+    for wp, (x0, y0) in zip(w, origins):
+        total[x0 : x0 + W, y0 : y0 + W] += wp
+    interior = total[pad:-pad, pad:-pad]
+    np.testing.assert_allclose(interior, 1.0, atol=1e-12)
+
+
+def test_fgmres_cost_granularity_is_the_restart_cycle():
+    """fgmres always completes full restart cycles: maxiter < restart still
+    runs `restart` Arnoldi iterations — callers wanting cheap inner solves
+    must set restart=maxiter (pinned so the footgun stays documented)."""
+    import jax
+
+    from fdtd2d_tpu.ops.krylov import fgmres
+
+    A = jnp.asarray(np.diag(np.linspace(1.0, 2.0, 16)))
+    b = jnp.ones((16,))
+    out = fgmres(lambda x: A @ x, b, restart=12, maxiter=5, tol=1e-30)
+    assert int(out.iterations) == 12  # one full cycle, not 5
+
+
 def test_tiled_solver_reuse_across_sources():
     """TiledSolver: one scene build, multiple sources — the production sweep
     pattern (per-call scene transfer dominates one-shot solves on the
