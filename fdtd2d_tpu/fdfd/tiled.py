@@ -273,7 +273,10 @@ class TiledSolver:
       coupling — on indefinite Helmholtz the outer Krylov then needs
       O(patch-count) iterations and stalls at the c64 rounding floor
       (measured: 25 patches at 512^2 stall at 0.74; 9 patches at 160^2
-      converge).
+      converge). The cheaper PML-blind DST shifted-Laplacian coarse was
+      measured and REJECTED: 150 iterations stalling at 2e-2 where FDM
+      takes 30 to 4e-6 (1024^2, 5x binary contrast) — the coarse level
+      must carry the PML exactly.
     - Local level: ORAS patch corrections — the patch operators carry their
       own local PML (absorbing boundaries, exactly the reference's per-patch
       construction, tiled_solver.py:47-56). Zero-Dirichlet window
