@@ -93,7 +93,8 @@ def cmd_tiled(args):
     sol, trace = run_fdfd_tiled(
         np.asarray(scene.eps), np.asarray(scene.mu), scene.dx, scene.dx,
         args.omega, source, mode=args.mode,
-        patch_size=args.patch_size, padding=args.padding, verbose=True)
+        patch_size=args.patch_size, padding=args.padding,
+        refine_target=args.refine_target or None, verbose=True)
     print(f"convergence trace: {[f'{t:.2e}' for t in trace]}")
     if args.out:
         import jax.numpy as jnp
@@ -258,6 +259,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["krylov", "additive", "multiplicative"])
     f.add_argument("--patch-size", type=int, default=100)
     f.add_argument("--padding", type=int, default=30)
+    f.add_argument("--refine-target", type=float, default=1e-6,
+                   help="true-f64-residual target for iterative refinement "
+                        "(krylov mode; 0 disables refinement)")
     f.add_argument("--structure", type=str, default=None)
     f.add_argument("--out", type=str, default="Ez_tiled.png")
     f.add_argument("--plot-patches", type=str, default=None,
