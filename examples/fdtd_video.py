@@ -34,4 +34,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from fdtd2d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     main()

@@ -48,4 +48,7 @@ def main(steps: int = 50):
 
 
 if __name__ == "__main__":
+    from fdtd2d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 50)

@@ -35,7 +35,8 @@ def main():
     tiled, trace = run_fdfd_tiled(eps, mu, dx, dx, omega, source,
                                   patch_size=100, padding=30, mode="krylov",
                                   solver_maxiter=240, refine_target=1e-8)
-    print(f"tiled (krylov) true residual: {trace[-1]:.2e}")
+    print(f"tiled (krylov) iterate true residual: {trace[-2]:.2e}; "
+          f"returned-field (c64 downcast) residual: {trace[-1]:.2e}")
 
     a = np.asarray(jnp.real(direct.x))
     b = np.asarray(jnp.real(tiled))
@@ -46,4 +47,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from fdtd2d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     main()

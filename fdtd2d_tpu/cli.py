@@ -322,6 +322,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # minutes-long first compiles on the remote-compile stack are paid once,
+    # then every later process reloads the executable from disk
+    from fdtd2d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args.fn(args)
     return 0
 

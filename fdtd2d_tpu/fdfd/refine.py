@@ -41,6 +41,21 @@ class RefineResult(NamedTuple):
     trace: List[float]       # true relative residual per round (incl. final)
 
 
+def true_relative_residual(op64: HelmholtzF64, b: Split, x) -> float:
+    """TRUE f64 relative residual ||b - A x|| / ||b|| of ANY iterate ``x``
+    (a :class:`Split` pair or a complex array, e.g. the complex64 downcast of
+    a refined solution — whose residual is floor-limited by the downcast to
+    ~eps_f32 * ||x|| regardless of how far the f64 iterate was refined)."""
+    require_x64()
+    if not isinstance(x, Split):
+        x = split_from_complex(x, jnp.float64)
+    else:
+        x = x.astype(jnp.float64)
+    _, rn = _residual_step(op64, b, x)
+    bn = float(snorm(b))
+    return float(rn) / bn if bn else 0.0
+
+
 from functools import partial
 
 

@@ -346,11 +346,19 @@ class TiledSolver:
 
     def solve(self, source, *, rhs_scale=None, solver_tol: float = 1e-4,
               solver_maxiter: int = 300, refine_target: float | None = 1e-6,
-              max_refine_rounds: int = 8, verbose: bool = False):
-        """Solve for one source. Returns ``(field, residual_trace)`` — with
-        ``refine_target`` set the trace holds TRUE f64 residuals per
-        refinement round; the RHS is ``rhs_scale * source`` (default
-        ``-1j*omega``, the reference tiled convention, tiled_solver.py:57).
+              max_refine_rounds: int = 8, return_split: bool = False,
+              verbose: bool = False):
+        """Solve for one source. Returns ``(field, residual_trace)``; the RHS
+        is ``rhs_scale * source`` (default ``-1j*omega``, the reference tiled
+        convention, tiled_solver.py:57).
+
+        With ``refine_target`` set the trace holds the f64 ITERATE's true
+        residual per refinement round, PLUS a final entry: the true residual
+        of the returned complex64 downcast field, which the downcast alone
+        floors around eps_f32 * ||x|| (~5e-5) however far the iterate was
+        refined. Pass ``return_split=True`` to get the split-complex f64
+        solution itself (a :class:`~fdtd2d_tpu.ops.splitc.Split`) as
+        ``field`` — then the trace carries no downcast entry.
         """
         from fdtd2d_tpu.ops.cplx import to_device_complex
 
@@ -378,7 +386,15 @@ class TiledSolver:
                 print(f"krylov tiled (refined): true res="
                       f"{float(out.relative_residual):.3e} "
                       f"rounds={out.rounds} trace={out.trace}")
-            return split_to_complex(out.x, self.dtype), out.trace
+            if return_split:
+                return out.x, out.trace
+            from fdtd2d_tpu.fdfd.refine import true_relative_residual
+
+            xc = split_to_complex(out.x, self.dtype)
+            # honest claim: the last trace entry describes the ARRAY returned
+            # (the c64 downcast), not the f64 iterate it was cut from
+            return xc, list(out.trace) + [true_relative_residual(
+                self.op64, b64, xc)]
 
         b = to_device_complex(np.asarray(source, np.complex128) * scale,
                               self.dtype)
@@ -421,7 +437,9 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
       f64 iterative refinement (fdtd2d_tpu/fdfd/refine.py): ``solver_tol``
       is the per-round c64 FGMRES tolerance and ``refine_target`` the TRUE
       f64 relative-residual target; the trace returned is the per-round true
-      residual. Pass refine_target=None for the raw single-precision solve.
+      residual of the f64 iterate plus a final entry for the returned
+      (downcast) array — see :meth:`TiledSolver.solve`. Pass
+      refine_target=None for the raw single-precision solve.
     - "additive": damped RAS fixed-point iteration (all patches concurrent).
     - "multiplicative": the reference's sequential source-outward sweep.
     """

@@ -66,6 +66,14 @@ def resolve_backend(backend: str, shape: Tuple[int, int]) -> str:
         pick_panel_height(shape[0], shape[1], 16)
         return "ttiled"
     except ValueError:
+        # never a SILENT 12x cliff: since the ttiled kernel zero-pads odd
+        # row counts this only triggers for genuinely pathological shapes
+        import warnings
+
+        warnings.warn(
+            f"grid {shape} admits no temporally-tiled panel decomposition; "
+            "falling back to the XLA step (~12x slower than the Pallas "
+            "kernels at >VMEM sizes)", stacklevel=2)
         return "jax"
 
 

@@ -212,7 +212,19 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState):
     try:
         payload = ckptr.restore(path, dict(template, scales=scale_template))
         scales = payload["scales"]
-    except Exception:
+    except (KeyError, ValueError) as e:
+        # pre-scales checkpoint layout only: orbax raises KeyError/ValueError
+        # when the stored tree lacks the 'scales' subtree. Anything else
+        # (corruption, dtype mismatch) must propagate — silently returning
+        # scales=None would reintroduce the normalization-drift bug the
+        # persisted scales exist to prevent.
+        import warnings
+
+        warnings.warn(
+            f"checkpoint {path} has no normalization scales "
+            f"(pre-scales format; {type(e).__name__}: {e}); inference "
+            "against it must recompute scales from the ORIGINAL training "
+            "data or fields will be mis-scaled", stacklevel=2)
         payload = ckptr.restore(path, template)
         scales = None
     state = state.replace(params=payload["params"],
@@ -278,6 +290,15 @@ def train(key, data: dict, config: TrainConfig,
             raise ValueError(
                 f"stream_chunk={stream_chunk} must be a multiple of "
                 f"batch_size={config.batch_size}")
+        if stream_chunk > n:
+            # clamp to the largest whole-batch chunk: a chunk bigger than
+            # the dataset would run ZERO chunks per epoch and report
+            # np.mean([]) = NaN while training nothing
+            stream_chunk = (n // config.batch_size) * config.batch_size
+            if stream_chunk == 0:
+                raise ValueError(
+                    f"dataset size {n} is smaller than one batch "
+                    f"({config.batch_size})")
         scales = ckpt_scales or compute_scales_host(raw)
         # f32 throughout the streamed path (model/optimizer are f32; any f64
         # leak via x64 promotion breaks the train_epoch scan carry)

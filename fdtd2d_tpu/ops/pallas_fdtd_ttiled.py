@@ -67,8 +67,8 @@ def _source_amp(kind: str, t, fc):
     return env * jnp.sin(2.0 * jnp.pi * fc * t)
 
 
-def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
-            owners, sy: int,
+def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
+            sy: int,
             fparams, iparams,
             ez_in, hx_in, hy_in, ce, ch,
             ezo, hxo, hyo,
@@ -80,6 +80,14 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
     dt = fparams[1]
     fc = fparams[2]
     t0 = iparams[0]
+    # src_g: source row in GHOSTED array coords (PH + domain row); dynamic so
+    # the sharded driver can pass a device-varying value under shard_map
+    src_g = iparams[1]
+    # is_top/is_bot: does this program's first/last panel border the TRUE
+    # domain boundary (Mur bands + halo zeroing)? Always 1 single-device; a
+    # sharded interior device borders neighbor halo instead of the boundary.
+    is_top = iparams[2]
+    is_bot = iparams[3]
 
     ez[:, :] = ez_in[:, :]
     hx[:, :] = hx_in[:, :]
@@ -87,12 +95,14 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
 
     # Zero the out-of-domain halo rows on the boundary panels (they alias
     # never-written ghost blocks of the previous sweep's output buffers).
-    @pl.when(p == 0)
+    # On sharded interior devices those rows hold ppermute'd neighbor data
+    # instead and must NOT be zeroed.
+    @pl.when((p == 0) & (is_top != 0))
     def _():
         for f in (ez, hx, hy):
             f[0:GH, :] = jnp.zeros((GH, M), f.dtype)
 
-    @pl.when(p == last)
+    @pl.when((p == last) & (is_bot != 0))
     def _():
         for f in (ez, hx, hy):
             f[H - GH : H, :] = jnp.zeros((GH, M), f.dtype)
@@ -102,13 +112,15 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
         p_l[:, :] = ez[:, 0:S]
         p_r[:, :] = ez[:, M - S : M]
 
-        @pl.when(p == 0)
+        @pl.when((p == 0) & (is_top != 0))
         def _():
             p_t[:, :] = ez[GH : GH + S, :]
 
-        @pl.when(p == last)
+        @pl.when((p == last) & (is_bot != 0))
         def _():
-            p_b[:, :] = ez[GH + PH - S : GH + PH, :]
+            # BOT < PH when the domain was zero-padded to a panel multiple:
+            # the true bottom boundary sits BOT rows into the last panel
+            p_b[:, :] = ez[GH + BOT - S : GH + BOT, :]
 
         # H update over [0:H-1, 0:M-1]; hy additionally over the last row
         # (validity is encoded in the zero coefficients: ch vanishes outside
@@ -139,7 +151,7 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
         ez[:, M - B : M] = p_r[:, 0:B] + coef * (cur_lr[:, 0:B] - p_r[:, 1:S])
 
         # Mur top/bottom bands + corner averaging (boundary panels only).
-        @pl.when(p == 0)
+        @pl.when((p == 0) & (is_top != 0))
         def _():
             cur_tb[:, :] = ez[GH : GH + S, :]
             ez[GH : GH + B, 1 : M - 1] = p_t[1:S, 1 : M - 1] + coef * (
@@ -149,9 +161,9 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
             cblk[:, :] = ez[GH : GH + S, M - S : M]
             ez[GH : GH + B, M - B : M] = (cblk[0:B, 0:B] + cblk[1:S, 1:S]) * 0.5
 
-        @pl.when(p == last)
+        @pl.when((p == last) & (is_bot != 0))
         def _():
-            r0 = GH + PH
+            r0 = GH + BOT
             cur_tb[:, :] = ez[r0 - S : r0, :]
             ez[r0 - B : r0, 1 : M - 1] = p_b[0:B, 1 : M - 1] + coef * (
                 cur_tb[0:B, 1 : M - 1] - p_b[1:S, 1 : M - 1])
@@ -161,14 +173,24 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
             ez[r0 - B : r0, M - B : M] = (cblk[0:B, 1:S] + cblk[1:S, 0:B]) * 0.5
 
         # Additive point source: every panel whose window holds the source
-        # row adds it locally (static owner list).
+        # row adds it locally (its halo evolution needs it too); each panel
+        # writes back only its own rows, so the injection lands exactly once
+        # in the output. The row is DYNAMIC (device-varying under shard_map);
+        # Mosaic only supports ALIGNED dynamic loads, so the injection goes
+        # through an 8-row-aligned (8, 128) block with a one-hot mask.
         t = (t0 + i).astype(dt.dtype) * dt
         amp = _source_amp(source_kind, t, fc)
-        for p_own, lrow in owners:
-            @pl.when(p == p_own)
-            def _(lrow=lrow):
-                ez[lrow : lrow + 1, sy : sy + 1] = (
-                    ez[lrow : lrow + 1, sy : sy + 1] + amp)
+        lrow = src_g - (PH + p * PH - GH)
+
+        @pl.when((lrow >= 0) & (lrow < H))
+        def _():
+            r8 = (lrow // 8) * 8
+            c0 = min((sy // 128) * 128, M - 128)   # static
+            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            hot = ((rows == lrow - r8) & (cols == sy - c0)).astype(ez.dtype)
+            blk = ez[pl.ds(r8, 8), c0 : c0 + 128]
+            ez[pl.ds(r8, 8), c0 : c0 + 128] = blk + amp * hot
 
         return ()
 
@@ -181,32 +203,38 @@ def _kernel(K: int, PH: int, GH: int, M: int, source_kind: str,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "PH", "GH", "source_kind", "sx", "sy", "interpret"),
+    static_argnames=("K", "PH", "GH", "BOT", "source_kind", "sy",
+                     "interpret"),
 )
 def _ttiled_sweep(ezp, hxp, hyp, cep, chp, fparams, iparams, *,
-                  K: int, PH: int, GH: int, source_kind: str,
-                  sx: int, sy: int, interpret: bool = False):
-    """One K-step sweep on (PAD + N + PAD, M) ghost-padded arrays, PAD = PH."""
+                  K: int, PH: int, GH: int, BOT: int, source_kind: str,
+                  sy: int, interpret: bool = False):
+    """One K-step sweep on (PAD + N + PAD, M) ghost-padded arrays, PAD = PH.
+
+    ``N`` here is the PADDED row count (a panel multiple); ``BOT`` is where
+    the true bottom boundary sits inside the last panel (BOT = PH unless the
+    caller zero-padded the domain, then BOT = PH - pad). The pad rows carry
+    zero coefficients, so they evolve as zeros; the bottom Mur band is
+    applied at local rows [GH + BOT - 5, GH + BOT).
+
+    ``iparams`` (SMEM int32, length 4): [global step offset, source row in
+    ghosted coords, is_top, is_bot]. The latter three are dynamic so the
+    sharded driver (fdtd2d_tpu/parallel/fdtd_sharded.py) can pass
+    device-varying values under shard_map — an SPMD program cannot
+    specialize them statically per device."""
     Npad, M = ezp.shape
     N = Npad - 2 * PH
+    assert M >= 128, f"columns M={M} below the 128-lane source-injection block"
     assert N % PH == 0, f"N={N} must be a multiple of panel height {PH}"
     assert GH >= K, f"halo GH={GH} must cover K={K} steps"
     assert GH % 8 == 0 and PH % 8 == 0
-    assert PH >= S, f"panel height {PH} too small"
+    assert PH >= GH, (
+        f"PH={PH} < GH={GH}: the first panel's Element input-window offset "
+        "PH - GH would be negative (undefined on Mosaic)")
+    assert S <= BOT <= PH, f"bottom boundary offset BOT={BOT} out of range"
     num_panels = N // PH
     H = PH + 2 * GH
     dtype = ezp.dtype
-
-    # static source ownership: panel windows cover ghosted rows
-    # [PAD + p*PH - GH, PAD + p*PH - GH + H); source row sx (domain coords)
-    # sits at ghosted row PAD + sx
-    owners = []
-    for p in range(num_panels):
-        w0 = PH + p * PH - GH
-        lrow = PH + sx - w0
-        if 0 <= lrow < H:
-            owners.append((p, int(lrow)))
-    owners = tuple(owners)
 
     # the multiple_of hint is load-bearing: Mosaic's divisibility checker
     # cannot prove 8 | (PH + p*PH - GH) through the affine expression
@@ -215,7 +243,7 @@ def _ttiled_sweep(ezp, hxp, hyp, cep, chp, fparams, iparams, *,
         lambda p: (pl.multiple_of(PH + p * PH - GH, 8), 0))
     out_spec = pl.BlockSpec((PH, M), lambda p: (p + 1, 0))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    kern = functools.partial(_kernel, K, PH, GH, M, source_kind, owners, sy)
+    kern = functools.partial(_kernel, K, PH, GH, M, BOT, source_kind, sy)
 
     out = pl.pallas_call(
         kern,
@@ -247,13 +275,26 @@ def _ttiled_sweep(ezp, hxp, hyp, cep, chp, fparams, iparams, *,
     return out
 
 
+_PH_CANDIDATES = (1024, 768, 512, 384, 256, 192, 128, 96, 64, 48, 40, 32,
+                  24, 16, 8)
+
+
 def pick_panel_height(N: int, M: int, GH: int, dtype_bytes: int = 4,
                       budget: int = 100 * 1024 * 1024) -> int:
-    """Largest PH dividing N that fits the double-buffered VMEM windows plus
+    """Largest admissible PH that fits the double-buffered VMEM windows plus
     the three field working copies:
-    (2 * (5 inputs * H + 3 outputs * PH) + 3 scratch * H) * M * bytes."""
-    for PH in (1024, 512, 256, 128, 64, 32, 16, 8):
-        if N % PH or PH < S:
+    (2 * (5 inputs * H + 3 outputs * PH) + 3 scratch * H) * M * bytes.
+
+    Admissible: PH >= GH (a smaller PH makes the first panel's Element
+    window offset negative — undefined on Mosaic), and N % PH either 0 (no
+    padding) or >= S (the driver zero-pads the domain to a panel multiple;
+    the bottom Mur band, S rows deep, must then land entirely inside the
+    last panel's own rows). With multiple-of-8 candidates down to GH this
+    admits every N >= 64 in practice; pathological N fall back to the XLA
+    path via the caller."""
+    for PH in _PH_CANDIDATES:
+        rem = N % PH
+        if PH < max(GH, S) or (rem != 0 and rem < S):
             continue
         H = PH + 2 * GH
         if (2 * (5 * H + 3 * PH) + 3 * H) * M * dtype_bytes <= budget:
@@ -263,34 +304,35 @@ def pick_panel_height(N: int, M: int, GH: int, dtype_bytes: int = 4,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nsweeps", "rem", "K", "PH", "GH", "source_kind",
+    static_argnames=("nsweeps", "rem", "K", "PH", "GH", "BOT", "source_kind",
                      "sx", "sy", "interpret"),
 )
 def _ttiled_run(ezp, hxp, hyp, cep, chp, fparams, off, *, nsweeps: int,
-                rem: int, K: int, PH: int, GH: int, source_kind: str,
-                sx: int, sy: int, interpret: bool):
+                rem: int, K: int, PH: int, GH: int, BOT: int,
+                source_kind: str, sx: int, sy: int, interpret: bool):
     """scan over sweeps, as ONE jitted program. Driving the eager
     ``lax.scan`` from un-jitted code ran ~50x slower on this stack
     (260 vs 4.7 ms/sweep at 4096^2 — measured; the same scan inside jit is
     full speed), so the whole sweep loop lives behind this jit boundary."""
+    tail = jnp.asarray([PH + sx, 1, 1], jnp.int32)  # src row (ghosted), top, bot
     if nsweeps > 0:
         def body(carry, k):
             ezp, hxp, hyp = carry
-            iparams = (off + k * K).reshape(1)
+            iparams = jnp.concatenate([(off + k * K).reshape(1), tail])
             ezp, hxp, hyp = _ttiled_sweep(
                 ezp, hxp, hyp, cep, chp, fparams, iparams,
-                K=K, PH=PH, GH=GH, source_kind=source_kind, sx=sx, sy=sy,
-                interpret=interpret)
+                K=K, PH=PH, GH=GH, BOT=BOT, source_kind=source_kind,
+                sy=sy, interpret=interpret)
             return (ezp, hxp, hyp), None
 
         (ezp, hxp, hyp), _ = jax.lax.scan(body, (ezp, hxp, hyp),
                                           jnp.arange(nsweeps))
     if rem > 0:
-        iparams = (off + nsweeps * K).reshape(1)
+        iparams = jnp.concatenate([(off + nsweeps * K).reshape(1), tail])
         ezp, hxp, hyp = _ttiled_sweep(
             ezp, hxp, hyp, cep, chp, fparams, iparams,
-            K=rem, PH=PH, GH=GH, source_kind=source_kind, sx=sx, sy=sy,
-            interpret=interpret)
+            K=rem, PH=PH, GH=GH, BOT=BOT, source_kind=source_kind,
+            sy=sy, interpret=interpret)
     return ezp, hxp, hyp
 
 
@@ -299,15 +341,24 @@ def fdtd_multistep_ttiled(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy,
                           K: int = 16, PH: int | None = None,
                           interpret: bool = False):
     """Multi-step advance with standard staggered shapes: ceil(nsteps/K)
-    temporally-tiled sweeps (each one pallas_call over row panels)."""
+    temporally-tiled sweeps (each one pallas_call over row panels).
+
+    Row counts that are not a panel multiple are zero-padded at the bottom
+    to the next one (the pad rows carry zero coefficients so they stay
+    exactly zero; the bottom Mur band is repositioned via the kernel's BOT
+    offset) — arbitrary N runs the fast kernel instead of silently falling
+    back to the ~12x-slower XLA path."""
     N, M = Ez.shape
     dtype = Ez.dtype
     GH = max(8, -(-K // 8) * 8)
     if PH is None:
         PH = pick_panel_height(N, M, GH, jnp.dtype(dtype).itemsize)
+    pad = (-N) % PH
+    BOT = PH - pad
+    Nd = N + pad  # padded domain rows (panel multiple)
 
     def ghost(a):
-        out = jnp.zeros((N + 2 * PH, M), dtype)
+        out = jnp.zeros((Nd + 2 * PH, M), dtype)
         return out.at[PH : PH + a.shape[0], : a.shape[1]].set(a)
 
     # validity masks live in the coefficients (cf. blocked kernel): ch is
@@ -329,7 +380,7 @@ def fdtd_multistep_ttiled(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy,
     nsweeps, rem = divmod(nsteps, K)
     ezp, hxp, hyp = _ttiled_run(
         ezp, hxp, hyp, cep, chp, fparams, off, nsweeps=nsweeps, rem=rem,
-        K=K, PH=PH, GH=GH, source_kind=source_kind, sx=sx, sy=sy,
+        K=K, PH=PH, GH=GH, BOT=BOT, source_kind=source_kind, sx=sx, sy=sy,
         interpret=interpret)
 
     return (ezp[PH : PH + N, :], hxp[PH : PH + N, : M - 1],

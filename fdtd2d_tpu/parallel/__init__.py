@@ -5,6 +5,10 @@ from fdtd2d_tpu.parallel.sharded import (
     simulate_sharded,
     sharded_matvec_shardmap,
 )
+from fdtd2d_tpu.parallel.fdtd_sharded import (
+    plan_sharded_ttiled,
+    simulate_sharded_ttiled,
+)
 from fdtd2d_tpu.parallel.tiled_sharded import run_fdfd_tiled_sharded
 
 __all__ = [
@@ -13,6 +17,8 @@ __all__ = [
     "shard_operator",
     "solve_fdfd_sharded",
     "simulate_sharded",
+    "simulate_sharded_ttiled",
+    "plan_sharded_ttiled",
     "sharded_matvec_shardmap",
     "run_fdfd_tiled_sharded",
 ]

@@ -30,7 +30,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator
 from fdtd2d_tpu.fdfd.solver import solve_fdfd, SolveResult
@@ -70,16 +70,35 @@ def solve_fdfd_sharded(op: HelmholtzOperator, b, mesh: Mesh, **solve_kwargs) -> 
 
 
 def simulate_sharded(eps, mu, config, mesh: Mesh, state=None):
-    """FDTD rollout with fields sharded over the mesh (GSPMD).
+    """FDTD rollout sharded over the mesh.
 
-    Uses the pure-JAX step (the Pallas kernel is single-chip VMEM-resident;
-    multi-chip runs shard the XLA-fused step instead).
+    Backend resolution (config.backend):
+    - "auto"/"ttiled" + a 1D mesh whose row decomposition the temporally-
+      tiled Pallas kernel admits: shard_map + ppermute halo exchange around
+      the kernel (fdtd2d_tpu/parallel/fdtd_sharded.py) — per-chip throughput
+      stays at kernel speed (~70-90 GCells/s) instead of the ~5.6 GCells/s
+      XLA step round-2 pinned here.
+    - anything else (2D meshes, "jax", inadmissible shapes): GSPMD — place
+      the arrays with NamedSharding and jit the pure-JAX step; XLA inserts
+      the halo collectives.
     """
     from fdtd2d_tpu.fdtd.simulate import simulate
 
-    # padded=True: uniform (N, N) field shapes shard evenly — XLA's SPMD
-    # partitioner produces wrong halo values for the unevenly-sharded
-    # staggered (N, N-1) shapes (observed on the CPU backend)
+    if config.backend in ("auto", "ttiled") and mesh.devices.ndim == 1:
+        from fdtd2d_tpu.parallel.fdtd_sharded import (
+            plan_sharded_ttiled, simulate_sharded_ttiled)
+
+        shape = jnp.asarray(eps).shape
+        if plan_sharded_ttiled(shape[0], shape[1],
+                               mesh.devices.shape[0]) is not None:
+            return simulate_sharded_ttiled(eps, mu, config, mesh, state=state)
+        if config.backend == "ttiled":
+            raise ValueError(f"grid {shape} over {mesh.devices.shape[0]} "
+                             "devices admits no ttiled row decomposition")
+
+    # GSPMD fallback. padded=True: uniform (N, N) field shapes shard
+    # evenly — XLA's SPMD partitioner produces wrong halo values for the
+    # unevenly-sharded staggered (N, N-1) shapes (observed on CPU backend)
     cfg = dataclasses.replace(config, backend="jax", padded=True)
     sh = NamedSharding(mesh, P(*mesh.axis_names[:2]))
     eps = jax.device_put(jnp.asarray(eps, cfg.dtype), sh)

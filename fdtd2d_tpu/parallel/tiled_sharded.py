@@ -169,20 +169,25 @@ def run_fdfd_tiled_sharded(
                             tol=solver_tol).x
 
     if refine_target is not None:
-        from fdtd2d_tpu.fdfd.refine import refine
-        from fdtd2d_tpu.ops.splitc import (Split, make_operator_f64,
-                                           split_to_complex)
+        from fdtd2d_tpu.fdfd.refine import refine, true_relative_residual
+        from fdtd2d_tpu.ops.splitc import (make_operator_f64,
+                                           split_from_numpy, split_to_complex)
 
         op64 = make_operator_f64(eps, mu, dx, dy, float(omega),
                                  pml_thickness=global_pml_thickness)
-        b64 = Split(jnp.zeros((Nx, Ny), jnp.float64),
-                    jnp.asarray(-omega * source, jnp.float64))
+        # complex128 on the host: a complex source's imaginary part must
+        # reach the RHS (Split(0, -omega*source) silently dropped it)
+        b64 = split_from_numpy(
+            -1j * float(omega) * source.astype(np.complex128))
         out = refine(op64, b64, inner_solve, target=refine_target,
                      max_rounds=max_refine_rounds, inner_dtype=dtype)
         if verbose:
             print(f"sharded tiled (refined): true res="
                   f"{float(out.relative_residual):.3e} rounds={out.rounds}")
-        return split_to_complex(out.x, dtype), out.trace
+        xc = split_to_complex(out.x, dtype)
+        # final trace entry: true residual of the RETURNED downcast array
+        # (same convention as TiledSolver.solve)
+        return xc, list(out.trace) + [true_relative_residual(op64, b64, xc)]
 
     out = solve_global(b, gop, ops_sh, M_rep, Mg, weights, flat_idx,
                        origins_dev, maxiter=solver_maxiter, tol=solver_tol)

@@ -3,11 +3,13 @@
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fdtd2d_tpu import constants
 
 
+@pytest.mark.slow
 def test_cli_datagen_train_roundtrip(tmp_path, monkeypatch, capsys):
     from fdtd2d_tpu.cli import main
 

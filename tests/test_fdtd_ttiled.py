@@ -86,3 +86,38 @@ def test_ttiled_source_near_boundary():
     # exercises Mur band + corner evolution entangled with the source panel
     err, *_ = _run(64, 128, nsteps=16, K=8, PH=16, src=(7, 9))
     assert err < 1e-5, f"relative field error {err:.3e}"
+
+
+def test_ttiled_padded_rows_match_oracle():
+    """N not a panel multiple: the driver zero-pads to the next one and the
+    bottom Mur band moves to the BOT offset inside the last panel
+    (72 % 16 = 8 -> pad 8, BOT 8)."""
+    err, Ez, Hx, Hy = _run(72, 128, nsteps=24, K=8, PH=16, src=(36, 64))
+    assert err < 1e-5, f"relative field error {err:.3e}"
+    assert Ez.shape == (72, 128)
+    assert Hx.shape == (72, 127) and Hy.shape == (71, 128)
+
+
+def test_ttiled_padded_source_near_bottom():
+    # the repositioned bottom band + corners evolve around the source
+    err, *_ = _run(72, 128, nsteps=16, K=8, PH=16, src=(69, 9))
+    assert err < 1e-5, f"relative field error {err:.3e}"
+
+
+def test_pick_panel_height_guards():
+    """ADVICE r2: candidates with PH < GH are inadmissible (negative Element
+    window offset on the first panel), and remainders below the Mur strip
+    width S force a different panel height instead of undefined padding."""
+    from fdtd2d_tpu.ops.pallas_fdtd_ttiled import S, pick_panel_height
+
+    # the advisor's reachable bad case: N = 8*odd used to return PH=8 < GH
+    ph = pick_panel_height(2056, 4096, 16)
+    assert ph >= 16
+    rem = 2056 % ph
+    assert rem == 0 or rem >= S
+
+    # odd heights now resolve to the fast path instead of the XLA fallback
+    from fdtd2d_tpu.fdtd.simulate import resolve_backend
+
+    assert resolve_backend("auto", (4104, 4096)) == "ttiled"
+    assert resolve_backend("auto", (2056, 4096)) == "ttiled"

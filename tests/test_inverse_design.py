@@ -1,11 +1,13 @@
 """Inverse-design workload: loss must decrease and respect bounds."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from fdtd2d_tpu.apps.inverse_design import lowpass_problem, make_response_fn, optimize
 
 
+@pytest.mark.slow
 def test_lowpass_optimization_reduces_loss():
     problem = lowpass_problem(N=60, n_freqs=4)
     design, responses, history = optimize(problem, steps=10, lr=0.05,

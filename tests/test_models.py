@@ -107,6 +107,7 @@ def test_generate_dataset_host_accumulation():
     assert np.all(np.isfinite(data["Ez"]))
 
 
+@pytest.mark.slow
 def test_train_streaming_chunks():
     """stream_chunk path: host data, chunked transfer, same API surface."""
     from fdtd2d_tpu.models.train import TrainConfig, train
@@ -156,6 +157,7 @@ def test_train_step_and_inference():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     cfg = TrainConfig(batch_size=4, ckpt_dir=str(tmp_path))
     state = create_state(KEY, (32, 32), cfg, model=_tiny_model())

@@ -6,6 +6,7 @@ roundoff (explicit shard_map halos).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P, NamedSharding
@@ -89,6 +90,7 @@ def test_sharded_fdfd_solve_matches_single_device():
     assert err / scale < 1e-8, f"sharded solve mismatch: {err / scale:.2e}"
 
 
+@pytest.mark.slow
 def test_sharded_tiled_solve_matches_single_device():
     """The Schwarz machinery over the mesh: patches sharded over 8 devices
     (all_gather residual + psum_scatter write-back) must reproduce the
@@ -113,7 +115,9 @@ def test_sharded_tiled_solve_matches_single_device():
     mesh = make_mesh((8,), axis_names=("p",))
     got, gtrace = run_fdfd_tiled_sharded(eps, mu, dx, dx, omega, source,
                                          mesh, **kwargs)
-    assert gtrace[-1] < 1e-7, f"sharded tiled true residual: {gtrace[-1]:.2e}"
+    # trace[-2] = f64 iterate residual; trace[-1] = downcast-array residual
+    assert gtrace[-2] < 1e-7, f"sharded tiled true residual: {gtrace[-2]:.2e}"
+    assert gtrace[-1] < 5e-5
     err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
     scale = np.max(np.abs(np.asarray(want)))
     assert err / scale < 1e-5, f"sharded tiled mismatch: {err / scale:.2e}"
@@ -129,3 +133,73 @@ def test_sharded_fdtd_matches_single_device():
     mesh = make_mesh((2, 4))
     (got, _, _), _ = simulate_sharded(eps, mu, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-12)
+
+
+def test_sharded_ttiled_fdtd_matches_oracle():
+    """VERDICT r2 item 1: the sharded FDTD path runs the temporally-tiled
+    Pallas kernel (interpret mode on the CPU mesh) with ppermute halo
+    exchange — parity vs the float64 NumPy oracle, not just vs the jax path.
+
+    64 rows over 8 devices -> ln=8, so the plan resolves K=8, PH=8: every
+    device is a single panel and ALL panel halos cross chip boundaries."""
+    from fdtd2d_tpu.fdtd.reference import numpy_simulate
+    from fdtd2d_tpu.parallel.fdtd_sharded import (
+        plan_sharded_ttiled, simulate_sharded_ttiled)
+
+    N, M = 64, 128
+    eps = np.full((N, M), constants.EPSILON_0)
+    eps[20:40, 50:70] *= 3.0
+    mu = np.full((N, M), constants.MU_0)
+    src, fc, steps = (N // 2, M // 2), 30e9, 20
+
+    assert plan_sharded_ttiled(N, M, 8) == (8, 8, 8)
+    mesh = make_mesh((8,), axis_names=("x",))
+    cfg = FDTDConfig(dt=5e-14, dx=1e-4, nsteps=steps, source_xy=src,
+                     source_fc=fc)
+    (Ez, Hx, Hy), _ = simulate_sharded_ttiled(eps, mu, cfg, mesh)
+    ref = numpy_simulate(eps, mu, 5e-14, 1e-4, steps, src, fc)
+    err = np.max(np.abs(np.asarray(Ez, np.float64) - ref)) / np.max(np.abs(ref))
+    assert err < 1e-5, f"sharded ttiled field error vs oracle: {err:.3e}"
+    assert Hx.shape == (N, M - 1) and Hy.shape == (N - 1, M)
+
+
+def test_sharded_ttiled_source_on_device_boundary():
+    """Source row in one device's own rows and another's ppermute'd halo:
+    the dynamic src_g ownership rule must inject exactly once globally."""
+    from fdtd2d_tpu.fdtd.reference import numpy_simulate
+    from fdtd2d_tpu.parallel.fdtd_sharded import simulate_sharded_ttiled
+
+    N, M = 64, 128
+    eps = np.full((N, M), constants.EPSILON_0)
+    mu = np.full((N, M), constants.MU_0)
+    src, fc, steps = (31, 9), 30e9, 19   # device boundary at row 32; rem sweep
+
+    mesh = make_mesh((8,), axis_names=("x",))
+    cfg = FDTDConfig(dt=5e-14, dx=1e-4, nsteps=steps, source_xy=src,
+                     source_fc=fc)
+    (Ez, _, _), _ = simulate_sharded_ttiled(eps, mu, cfg, mesh)
+    ref = numpy_simulate(eps, mu, 5e-14, 1e-4, steps, src, fc)
+    err = np.max(np.abs(np.asarray(Ez, np.float64) - ref)) / np.max(np.abs(ref))
+    assert err < 1e-5, f"boundary-source sharded ttiled error: {err:.3e}"
+
+
+def test_simulate_sharded_dispatches_to_ttiled():
+    """simulate_sharded no longer pins backend='jax': on an admissible 1D
+    mesh the auto backend must take the kernel path and match the jax path;
+    snapshots ride along."""
+    N, M = 64, 128
+    eps, mu, _ = _scene(N)
+    eps = np.broadcast_to(eps[:, :1], (N, M)).copy()
+    mu = np.full((N, M), constants.MU_0)
+    cfg = FDTDConfig(dt=5e-14, dx=1e-4, nsteps=32, source_xy=(32, 64),
+                     source_fc=30e9, nframes=2, backend="auto")
+    mesh = make_mesh((8,), axis_names=("x",))
+    (got, _, _), snaps = simulate_sharded(eps, mu, cfg, mesh)
+    assert snaps is not None and snaps.shape == (2, N, M)
+
+    cfgj = FDTDConfig(dt=5e-14, dx=1e-4, nsteps=32, source_xy=(32, 64),
+                      source_fc=30e9, backend="jax")
+    (want, _, _), _ = simulate(eps, mu, cfgj)
+    err = np.max(np.abs(np.asarray(got) - np.asarray(want)))
+    scale = np.max(np.abs(np.asarray(want)))
+    assert err / scale < 1e-5, f"ttiled-sharded vs jax mismatch: {err/scale:.2e}"

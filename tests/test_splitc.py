@@ -66,7 +66,10 @@ def test_run_fdfd_refined_beats_c64_floor():
     out = run_fdfd(eps, mu, dx, dx, omega, source, pml_thickness=20,
                    dtype=jnp.complex64, tol=1e-5, maxiter=400,
                    refine_target=1e-9)
-    assert float(out.relative_residual) < 1e-9
+    # x64_residual describes the f64 iterate; relative_residual describes
+    # the returned c64 downcast (floored by the downcast itself ~5e-5)
+    assert float(out.x64_residual) < 1e-9
+    assert float(out.relative_residual) < 5e-5
     assert bool(out.converged)
 
     # independent f64 residual check

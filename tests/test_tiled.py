@@ -37,6 +37,7 @@ def test_bfs_distances_source_outward():
     assert (d == 0).any() and d.max() >= 1
 
 
+@pytest.mark.slow
 def test_tiled_krylov_matches_global_solve():
     """RAS-preconditioned global FGMRES converges to the true solution."""
     N, dx, omega = 160, 1e-3, 17e9
@@ -70,7 +71,9 @@ def test_tiled_krylov_complex64_refined():
         pml_thickness=10, mode="krylov", solver_tol=1e-5, solver_maxiter=60,
         inner_iters=15, global_pml_thickness=40, dtype=jnp.complex64,
         refine_target=1e-7)
-    assert trace[-1] < 1e-7, f"refined true residual: {trace[-1]:.2e}"
+    # trace = per-round residuals of the f64 ITERATE, then one final entry
+    # for the RETURNED (c64-downcast) array
+    assert trace[-2] < 1e-7, f"refined true residual: {trace[-2]:.2e}"
 
     # independently recompute the true residual in f64
     op64 = make_operator_f64(eps, mu, dx, dx, omega, pml_thickness=40)
@@ -79,8 +82,11 @@ def test_tiled_krylov_complex64_refined():
     r = op64.residual(b, x)
     rel = float(snorm(r)) / float(snorm(b))
     # x was rounded through c64 on return, so the recomputed residual sits at
-    # the c64 representation floor rather than the refined f64 one
+    # the c64 representation floor rather than the refined f64 one — and the
+    # trace's final entry must REPORT that downcast floor, not the discarded
+    # iterate's residual (advisor finding, ADVICE.md round 2)
     assert rel < 5e-5, f"recomputed true residual: {rel:.2e}"
+    np.testing.assert_allclose(trace[-1], rel, rtol=1e-6)
 
     op = make_operator(eps, mu, dx, dx, omega, pml_thickness=40,
                        dtype=jnp.complex128)
@@ -140,12 +146,15 @@ def test_tiled_solver_reuse_across_sources():
                           refine_target=1e-7)
     x2, t2 = solver.solve(s2, solver_tol=1e-5, solver_maxiter=60,
                           refine_target=1e-7)
-    assert t1[-1] < 1e-7 and t2[-1] < 1e-7
+    # t[-2] = f64 iterate residual; t[-1] = the returned downcast's residual
+    assert t1[-2] < 1e-7 and t2[-2] < 1e-7
+    assert t1[-1] < 5e-5 and t2[-1] < 5e-5
     d = np.abs(np.asarray(x1) - np.asarray(x2)).max()
     assert d > 0, "distinct sources must give distinct fields"
 
 
 @pytest.mark.parametrize("mode", ["additive", "multiplicative"])
+@pytest.mark.slow
 def test_tiled_stationary_modes_approximate(mode):
     """The stationary Schwarz sweeps (the reference's algorithm) converge to
     an approximate field — the reference validated this only by eyeballing
