@@ -7,10 +7,13 @@ invisible to the driver. This suite covers the solver stack:
     fdtd4096     temporally-tiled >VMEM FDTD kernel, GCells/s
     fdtd8192     same kernel at 8192^2 (1.3 GB of fields), GCells/s
     fdfd512      FDM-FGMRES complex64 steady-state solve, seconds
-    tiled1024    two-level ORAS tiled solve, 5x binary contrast, warm
+    direct1024   exact sublattice block-Thomas solve, HARD 50%-duty binary
+                 5x scene, warm repeat-solve seconds (factors reused)
+    tiled1024    two-level ORAS tiled solve, moderate-contrast scene, warm
                  repeat-solve seconds (TiledSolver build excluded — the
                  build-once/solve-many production pattern)
-    datagen      vmapped on-device surrogate datagen, samples/s
+    datagen      vmapped on-device surrogate datagen (exact direct labels),
+                 samples/s
     trainstep    diffusion-surrogate train step, ms (batch 8 @ 256^2)
     fdtd2048     VMEM-resident FDTD kernel, GCells/s  <- headline, LAST
 
@@ -125,9 +128,12 @@ def bench_fdfd512(on_tpu):
 
 
 def _contrast_scene(N: int, seed: int = 7):
-    """Deterministic 5x binary-contrast scene (the datagen distribution at
-    benchmark scale — the regime where the reference's LU dies of fill-in
-    and plain FDM stalls)."""
+    """Deterministic 50%-duty binary 5x-contrast scene (the datagen
+    distribution at benchmark scale — the regime where the reference's LU
+    dies of fill-in, plain FDM stalls, AND the two-level ORAS stalls at
+    ~0.3; only the sublattice direct factorization solves it). NOTE the
+    round-2 'contrast' scene thresholded a blurred standard normal at ~5
+    sigma and was accidentally near-uniform."""
     from scipy.ndimage import gaussian_filter
 
     from fdtd2d_tpu import constants
@@ -141,12 +147,45 @@ def _contrast_scene(N: int, seed: int = 7):
     return eps, mu, src
 
 
+def _block_scene(N: int):
+    """Moderate-contrast block scene (the family the iterative two-level
+    tiled solver converges on; its honest applicability boundary is
+    documented in fdfd/tiled.py)."""
+    from fdtd2d_tpu import constants
+
+    eps = np.full((N, N), constants.EPSILON_0)
+    eps[N // 3 : 2 * N // 3, N // 4 : N // 2] *= 2.5
+    mu = np.full((N, N), constants.MU_0)
+    src = np.zeros((N, N))
+    src[N // 2, N // 2] = 1.0
+    return eps, mu, src
+
+
+def bench_direct1024(on_tpu):
+    """Exact sublattice block-Thomas solve on the HARD binary scene:
+    build-once (untimed) + warm repeat solve to 1e-6 true residual."""
+    from fdtd2d_tpu.fdfd.direct import DirectSolver
+
+    N, omega = (1024, 17e9) if on_tpu else (128, 17e9)
+    dx = 1e-3
+    eps, mu, src = _contrast_scene(N)
+    solver = DirectSolver(eps, mu, dx, dx, omega)
+    _, trace = solver.solve(src, refine_target=1e-6)   # compile + warm
+    t0 = time.perf_counter()
+    _, trace = solver.solve(src, refine_target=1e-6)
+    dt = time.perf_counter() - t0
+    assert trace[-2] < 1e-5, f"direct solve did not converge: {trace}"
+    return {"metric": f"direct_{N}sq_hard_contrast_warm_solve",
+            "value": round(dt, 3), "unit": "s",
+            "vs_baseline": round(TILED1024_BASELINE_S / dt, 2)}
+
+
 def bench_tiled1024(on_tpu):
     from fdtd2d_tpu.fdfd.tiled import TiledSolver
 
     N, omega = (1024, 17e9) if on_tpu else (160, 17e9)
     dx = 1e-3
-    eps, mu, src = _contrast_scene(N)
+    eps, mu, src = _block_scene(N)
     solver = TiledSolver(eps, mu, dx, dx, omega)
     kw = dict(solver_tol=1e-4, solver_maxiter=300, refine_target=1e-6)
     _, trace = solver.solve(src, **kw)      # compile + warm
@@ -154,23 +193,24 @@ def bench_tiled1024(on_tpu):
     _, trace = solver.solve(src, **kw)
     dt = time.perf_counter() - t0
     assert trace[-2] < 1e-5, f"tiled solve did not converge: {trace}"
-    return {"metric": f"tiled_{N}sq_contrast_warm_solve", "value": round(dt, 3),
+    return {"metric": f"tiled_{N}sq_warm_solve", "value": round(dt, 3),
             "unit": "s", "vs_baseline": round(TILED1024_BASELINE_S / dt, 2)}
 
 
 def bench_datagen(on_tpu):
     import jax
 
-    from fdtd2d_tpu.models.datagen import default_preconditioner, generate_batch
+    from fdtd2d_tpu.models.datagen import generate_batch
 
-    size, batch = ((250, 250), 64) if on_tpu else ((64, 64), 8)
-    M = default_preconditioner(size)
-    out = generate_batch(jax.random.PRNGKey(0), batch=batch, shape=size, M=M)
+    size, batch = ((256, 256), 32) if on_tpu else ((64, 64), 8)
+    out = generate_batch(jax.random.PRNGKey(0), batch=batch, shape=size)
     _sync(out["Ez"])
     t0 = time.perf_counter()
-    out = generate_batch(jax.random.PRNGKey(1), batch=batch, shape=size, M=M)
+    out = generate_batch(jax.random.PRNGKey(1), batch=batch, shape=size)
     _sync(out["Ez"])
     sps = batch / (time.perf_counter() - t0)
+    worst = float(np.max(np.asarray(out["residuals"])))
+    assert worst < 1e-4, f"datagen labels unconverged: {worst:.1e}"
     return {"metric": f"datagen_{size[0]}sq_samples_per_s",
             "value": round(sps, 2), "unit": "samples/s",
             "vs_baseline": round(sps / DATAGEN_BASELINE_SPS, 1)}
@@ -209,6 +249,7 @@ BENCHES = [
     ("fdtd4096", bench_fdtd4096),
     ("fdtd8192", bench_fdtd8192),
     ("fdfd512", bench_fdfd512),
+    ("direct1024", bench_direct1024),
     ("tiled1024", bench_tiled1024),
     ("datagen", bench_datagen),
     ("trainstep", bench_trainstep),

@@ -55,19 +55,30 @@ def cmd_fdfd(args):
     import jax.numpy as jnp
 
     from fdtd2d_tpu.core.guards import check_resolution
-    from fdtd2d_tpu.fdfd.solver import run_fdfd
     from fdtd2d_tpu.viz.render import plot_Ez
 
     scene = _load_scene(args, black_point=3.0)
     check_resolution(scene.eps, scene.mu, args.omega, scene.dx)
     source = scene.point_source(args.size // 5, args.size // 5)
-    res = run_fdfd(scene.eps, scene.mu, scene.dx, scene.dx, args.omega, source,
-                   rhs_scale=args.omega,  # reference driver convention (fdfd.py:112)
-                   tol=args.tol, maxiter=args.maxiter)
-    import jax.numpy as jnp
+    if args.solver == "direct":
+        from fdtd2d_tpu.fdfd.direct import DirectSolver
 
-    Ez = np.asarray(jnp.real(res.x))
-    print(f"relative residual: {float(res.relative_residual):.3e}")
+        solver = DirectSolver(np.asarray(scene.eps), np.asarray(scene.mu),
+                              scene.dx, scene.dx, args.omega)
+        x, trace = solver.solve(np.asarray(source), rhs_scale=args.omega,
+                                refine_target=args.tol)
+        Ez = np.asarray(jnp.real(x))
+        print(f"relative residual: {trace[-1]:.3e} "
+              f"(f64 iterate: {trace[-2]:.3e})")
+    else:
+        from fdtd2d_tpu.fdfd.solver import run_fdfd
+
+        res = run_fdfd(scene.eps, scene.mu, scene.dx, scene.dx, args.omega,
+                       source,
+                       rhs_scale=args.omega,  # reference convention (fdfd.py:112)
+                       tol=args.tol, maxiter=args.maxiter)
+        Ez = np.asarray(jnp.real(res.x))
+        print(f"relative residual: {float(res.relative_residual):.3e}")
     if args.out:
         m = float(np.abs(Ez).max()) or 1.0
         plot_Ez(Ez, np.asarray(scene.eps), args.out, vmax=m, vmin=-m)
@@ -247,6 +258,11 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--dx", type=float, default=1e-3)
     f.add_argument("--tol", type=float, default=1e-6)
     f.add_argument("--maxiter", type=int, default=1000)
+    f.add_argument("--solver", type=str, default="krylov",
+                   choices=["krylov", "direct"],
+                   help="krylov: FDM-FGMRES (scales past the direct "
+                        "solver's memory); direct: exact sublattice "
+                        "block-Thomas factorization (any contrast)")
     f.add_argument("--structure", type=str, default=None)
     f.add_argument("--out", type=str, default="Ez.png")
     f.set_defaults(fn=cmd_fdfd)

@@ -104,20 +104,16 @@ def make_operator_traced(eps, mu, dx, dy, omega, pml_thickness: int,
 
 
 @partial(jax.jit, static_argnames=("shape", "batch", "pml_thickness", "maxiter", "dx"))
-def generate_batch(key, *, batch: int, shape: Tuple[int, int], dx: float = 1e-3,
-                   pml_thickness: int = 40, maxiter: int = 400, M=None):
-    """One batch of (eps, mu, src, omega, Ez) training samples, all on device.
+def generate_batch_krylov(key, *, batch: int, shape: Tuple[int, int],
+                          dx: float = 1e-3, pml_thickness: int = 40,
+                          maxiter: int = 400, M=None):
+    """Krylov-labeled batch (the round-1/2 path, kept for comparison).
 
-    ``M``: optional shared FDM preconditioner (built at a representative
-    mid-band omega — per-sample omegas differ, so it is approximate, which
-    only costs Krylov iterations, not correctness).
-
-    Note on label accuracy: the reference's datagen scenes (5x binary
-    contrast at 18-30 GHz on dx=1mm) are under-resolved — ~4.5 cells per
-    wavelength at the top of the band, violating the lambda/10 rule the
-    reference itself enforces elsewhere (fdfd.py:97-105). Krylov residuals
-    of ~1e-2 on such scenes sit far below their discretization error; the
-    per-sample residuals are returned so callers can filter if desired.
+    The reference's datagen scenes (50% duty binary 5x contrast at 18-30 GHz
+    on dx=1mm) are among the hardest indefinite Helmholtz problems: the
+    shared mid-band FDM-FGMRES stalls at ~1e-2 relative residual on ~90% of
+    samples (measured at 256^2) — use :func:`generate_batch` (exact direct
+    labels) for training data.
     """
     keys = jax.random.split(key, batch)
 
@@ -138,6 +134,98 @@ def generate_batch(key, *, batch: int, shape: Tuple[int, int], dx: float = 1e-3,
     return dict(eps=eps, mu=mu, src=src, omega=omega, Ez=Ez, residuals=res)
 
 
+def _five_point_residual_host(eps, mu, src, omega, Ez_c, dx: float,
+                              pml_thickness: int) -> np.ndarray:
+    """Per-sample TRUE float64 relative residuals, evaluated host-side with
+    the numpy pentadiagonal form of the operator (vectorized over the
+    batch; ~1e7 flops — negligible next to the solves)."""
+    from fdtd2d_tpu.ops.helmholtz import stretch_factors
+
+    B, Nx, Ny = eps.shape
+    im = 1.0 / np.asarray(mu, np.float64)
+    x = np.asarray(Ez_c, np.complex128)
+    res = np.empty(B)
+    for i in range(B):
+        s_r, s_c = stretch_factors(Nx, Ny, float(omega[i]), pml_thickness,
+                                   2.0, 3)
+        isr = (1.0 / s_r)[:, None]
+        isc = (1.0 / s_c)[None, :]
+        a = 1.0 / (2.0 * dx)
+
+        def dcol(f):
+            out = np.zeros_like(f)
+            out[:, :-1] += f[:, 1:]
+            out[:, 1:] -= f[:, :-1]
+            return out * a
+
+        def drow(f):
+            out = np.zeros_like(f)
+            out[:-1, :] += f[1:, :]
+            out[1:, :] -= f[:-1, :]
+            return out * a
+
+        xi = x[i]
+        tc = dcol(dcol(xi * isc) * im[i]) * isc
+        tr = drow(drow(xi * isr) * im[i]) * isr
+        ax = -(tc + tr) - (float(omega[i]) ** 2) * np.asarray(eps[i], np.float64) * xi
+        b = -1j * float(omega[i]) * np.asarray(src[i], np.float64)
+        res[i] = np.linalg.norm(ax - b) / np.linalg.norm(b)
+    return res
+
+
+@partial(jax.jit, static_argnames=("shape", "batch", "pml_thickness", "dx"))
+def _generate_batch_direct_device(key, *, batch: int, shape: Tuple[int, int],
+                                  dx: float, pml_thickness: int):
+    from fdtd2d_tpu.fdfd.direct import factor, solve_factored
+
+    keys = jax.random.split(key, batch)
+
+    def one(k):
+        k_eps, k_src, k_om = jax.random.split(k, 3)
+        eps, mu = random_permittivity(k_eps, shape)
+        src = random_source(k_src, shape)
+        omega = random_omega(k_om)
+        op = make_operator_traced(eps, mu, dx, dx, omega, pml_thickness)
+        b = (jnp.asarray(-1j, jnp.complex64) * omega.astype(jnp.complex64)
+             * src.astype(jnp.complex64))
+        f = factor(op)
+        x = solve_factored(f, b)
+        # one complex64 refinement round: the no-pivoting block-LU loses a
+        # few digits; re-solving the residual restores the c64 floor (~1e-6)
+        x = x + solve_factored(f, b - op.apply(x))
+        return eps.astype(jnp.float32), mu.astype(jnp.float32), src, \
+            omega.astype(jnp.float32), x
+
+    eps, mu, src, omega, x = jax.vmap(one)(keys)
+    return eps, mu, src, omega, x
+
+
+def generate_batch(key, *, batch: int, shape: Tuple[int, int], dx: float = 1e-3,
+                   pml_thickness: int = 40, M=None, **_ignored):
+    """One batch of (eps, mu, src, omega, Ez) training samples, all on device.
+
+    Labels are EXACT: each sample is solved with the sublattice block-Thomas
+    direct factorization (fdtd2d_tpu/fdfd/direct.py) plus one c64 refinement
+    round — method parity with the reference's f64 spsolve labels
+    (python-src/diffusion_training.py:36-51), on device. ``residuals`` holds
+    per-sample TRUE f64 relative residuals evaluated host-side (typically
+    ~1e-6; the round-2 Krylov path left ~90% of samples above 1e-4).
+    """
+    del M
+    eps, mu, src, omega, x = _generate_batch_direct_device(
+        key, batch=batch, shape=shape, dx=dx, pml_thickness=pml_thickness)
+    # fetch complex via real/imag parts (direct complex transfers can hang
+    # through this environment's TPU tunnel)
+    x_host = (np.asarray(jnp.real(x), np.float64)
+              + 1j * np.asarray(jnp.imag(x), np.float64))
+    res = _five_point_residual_host(np.asarray(eps), np.asarray(mu),
+                                    np.asarray(src), np.asarray(omega),
+                                    x_host, dx, pml_thickness)
+    Ez = jnp.real(x).astype(jnp.float32)
+    return dict(eps=eps, mu=mu, src=src, omega=omega, Ez=Ez,
+                residuals=jnp.asarray(res, jnp.float32))
+
+
 def default_preconditioner(shape: Tuple[int, int], dx: float = 1e-3,
                            pml_thickness: int = 40, omega_ref: float = 24e9):
     """Shared mid-band FDM preconditioner for datagen batches."""
@@ -154,10 +242,7 @@ def generate_dataset(key, num_samples: int, shape: Tuple[int, int],
     automatic: host accumulation above ~2 GB. The result feeds
     ``train(..., stream_chunk=...)`` without ever materializing on device.
     """
-    M = kwargs.pop("M", None)
-    if M is None:
-        M = default_preconditioner(shape, kwargs.get("dx", 1e-3),
-                                   kwargs.get("pml_thickness", 40))
+    M = kwargs.pop("M", None)  # unused by the direct path; kept for API compat
     if to_host is None:
         to_host = num_samples * shape[0] * shape[1] * 5 * 4 > 2 * 1024**3
     outs = []

@@ -1,0 +1,139 @@
+"""Sublattice block-Thomas direct solver vs the matrix-free operator.
+
+Golden-oracle chain, direct leg: the 5-point coefficient extraction is
+pinned against HelmholtzOperator.apply, the factored solve against scipy's
+spsolve on the reference-assembled CSR matrix, and the c64+refine
+production path on a genuinely hard scene (50% duty binary 5x contrast at
+~lambda/8 — where the Krylov/Schwarz stack stalls; see fdfd/direct.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fdtd2d_tpu import constants
+from fdtd2d_tpu.ops.helmholtz import make_operator
+from fdtd2d_tpu.fdfd.direct import (
+    DirectSolver, factor, five_point_coefficients, solve_direct,
+    solve_factored,
+)
+
+
+def _hard_scene(N, seed=3):
+    """Datagen-distribution binary 5x medium (NOT the accidentally-uniform
+    round-2 scene: gaussian_filter(standard_normal, 12) > 0.12 selects ~5
+    sigma of a blurred field, i.e. nothing)."""
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    blur = gaussian_filter(rng.random((N, N)), sigma=4.0)
+    eps = np.where(blur > np.median(blur), 5.0, 1.0) * constants.EPSILON_0
+    mu = np.full((N, N), constants.MU_0)
+    src = np.zeros((N, N))
+    src[N // 2, N // 2] = 10.0
+    return eps, mu, src
+
+
+def test_five_point_matches_apply():
+    N, dx, omega = 96, 1e-3, 17e9
+    eps, mu, _ = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=16,
+                       dtype=jnp.complex128)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, N))
+                    + 1j * rng.standard_normal((N, N)))
+    d, e, w, s, n = five_point_coefficients(op)
+
+    xe = jnp.pad(x[:, 2:], ((0, 0), (0, 2)))
+    xw = jnp.pad(x[:, :-2], ((0, 0), (2, 0)))
+    xs = jnp.pad(x[2:, :], ((0, 2), (0, 0)))
+    xn = jnp.pad(x[:-2, :], ((2, 0), (0, 0)))
+    got = d * x + e * xe + w * xw + s * xs + n * xn
+    want = op.apply(x)
+    err = np.max(np.abs(np.asarray(got - want))) / np.max(np.abs(np.asarray(want)))
+    assert err < 1e-12, f"five-point coefficients mismatch: {err:.2e}"
+
+
+def test_direct_matches_spsolve():
+    """Exact-solve parity with the reference's own method (scipy sparse LU
+    on the assembled CSR, reference python-src/fdfd.py:112)."""
+    import sys
+    import pathlib
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent))
+    import scipy.sparse.linalg as spla
+    from test_fdfd_operator import scipy_make_A
+
+    N, dx, omega = 96, 1e-3, 17e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=16,
+                       dtype=jnp.complex128)
+    b = jnp.asarray(-1j * omega * src)
+    x = solve_direct(op, b)
+    res = np.linalg.norm(np.asarray(op.apply(x) - b)) / np.linalg.norm(np.asarray(b))
+    assert res < 1e-10, f"direct-solve residual: {res:.2e}"
+
+    A = scipy_make_A(np.asarray(eps), np.asarray(mu), dx, dx, N, N,
+                     float(omega), pml_thickness=16)
+    want = spla.spsolve(A.tocsc(), np.asarray(b).ravel()).reshape(N, N)
+    err = np.max(np.abs(np.asarray(x) - want)) / np.max(np.abs(want))
+    assert err < 1e-8, f"direct vs spsolve: {err:.2e}"
+
+
+def test_direct_factored_reuse():
+    N, dx, omega = 64, 1e-3, 17e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=12,
+                       dtype=jnp.complex128)
+    f = factor(op)
+    for seed in (0, 1):
+        rng = np.random.default_rng(seed)
+        b = jnp.asarray(rng.standard_normal((N, N))
+                        + 1j * rng.standard_normal((N, N)))
+        x = solve_factored(f, b)
+        res = np.linalg.norm(np.asarray(op.apply(x) - b)) / np.linalg.norm(np.asarray(b))
+        assert res < 1e-10, f"factored-solve residual (seed {seed}): {res:.2e}"
+
+
+def test_direct_solver_c64_refined_hard_scene():
+    """Production path: c64 factors + f64 refinement reach 1e-8 TRUE
+    residual on the hard binary scene where the two-level tiled solver
+    stalls around 0.3."""
+    N, dx, omega = 160, 1e-3, 24e9
+    eps, mu, src = _hard_scene(N)
+    solver = DirectSolver(eps, mu, dx, dx, omega, pml_thickness=20,
+                          dtype=jnp.complex64)
+    x, trace = solver.solve(src, refine_target=1e-8)
+    assert trace[-2] < 1e-8, f"refined true residual: {trace[-2]:.2e}"
+    assert trace[-1] < 5e-5  # downcast floor of the returned c64 array
+
+    # independent f64 residual of the split solution
+    xs, tr2 = solver.solve(src, refine_target=1e-8, return_split=True)
+    from fdtd2d_tpu.ops.splitc import snorm
+
+    b = -1j * omega * np.asarray(src, np.complex128)
+    from fdtd2d_tpu.ops.splitc import split_from_numpy
+
+    r = solver.op64.residual(split_from_numpy(b), xs)
+    rel = float(snorm(r)) / np.linalg.norm(b)
+    assert rel < 1e-7, f"recomputed split residual: {rel:.2e}"
+
+
+def test_direct_batched_vmap():
+    """vmapped factor+solve over a scene batch (the datagen pattern)."""
+    N, dx = 64, 1e-3
+    ops = []
+    bs = []
+    for seed in range(3):
+        eps, mu, src = _hard_scene(N, seed=seed)
+        omega = 18e9 + 4e9 * seed
+        ops.append(make_operator(eps, mu, dx, dx, omega, pml_thickness=12,
+                                 dtype=jnp.complex128))
+        bs.append(jnp.asarray(-1j * omega * src))
+    ops_b = jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+    b_b = jnp.stack(bs)
+    xs = jax.vmap(lambda op, b: solve_factored(factor(op), b))(ops_b, b_b)
+    for i, (op, b) in enumerate(zip(ops, bs)):
+        res = np.linalg.norm(np.asarray(op.apply(xs[i]) - b)) / \
+            np.linalg.norm(np.asarray(b))
+        assert res < 1e-10, f"batched direct residual (scene {i}): {res:.2e}"

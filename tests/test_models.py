@@ -87,7 +87,10 @@ def test_generate_batch_solves():
                          maxiter=300, M=M)
     assert out["Ez"].shape == (4, 48, 48)
     assert np.all(np.isfinite(np.asarray(out["Ez"])))
-    assert float(jnp.max(out["residuals"])) < 1e-3, (
+    # direct (block-Thomas) labels: TRUE f64 residuals at the c64 floor —
+    # the round-2 Krylov path left ~90% of reference-parameter samples
+    # above 1e-4 (VERDICT r2 item 5)
+    assert float(jnp.max(out["residuals"])) < 1e-5, (
         f"datagen solves unconverged: {np.asarray(out['residuals'])}")
     assert np.all(np.asarray(out["omega"]) >= 18e9)
     assert np.all(np.asarray(out["omega"]) <= 30e9)
