@@ -169,22 +169,50 @@ def cmd_train(args):
     cfg = TrainConfig(lr=args.lr, batch_size=args.batch, num_epochs=args.epochs,
                       ckpt_dir=args.ckpt_dir)
 
-    eval_callback = None
+    eval_callback = holdout_callback = None
     if args.eval_every:
-        from fdtd2d_tpu.viz.plots import plot_ref_v_inference
+        from fdtd2d_tpu.viz.plots import plot_noisy_sample, plot_ref_v_inference
 
         os.makedirs(args.eval_dir, exist_ok=True)
+
+        # the reference's noise-schedule grid (diffusion_training.py:215-235,
+        # its diffusion_data.png): dataset sample 0 across forward-noising
+        # timesteps
+        from fdtd2d_tpu.models.diffusion import DDPMSchedule
+
+        sched = DDPMSchedule.create(cfg.num_train_timesteps)
+        ez0 = jnp.asarray(np.asarray(raw["Ez"][0]), jnp.float32)
+        ez0 = ez0 / (float(np.std(np.asarray(raw["Ez"][0]))) + 1e-30)
+        ts = np.linspace(0, cfg.num_train_timesteps - 1, 6).astype(int)
+        frames = jnp.stack([
+            sched.add_noise(ez0[None], jax.random.normal(
+                jax.random.PRNGKey(t), ez0[None].shape), jnp.asarray([t]))[0]
+            for t in ts])
+        noisy_path = os.path.join(args.eval_dir, "noise_schedule.png")
+        plot_noisy_sample(np.asarray(frames), noisy_path)
+        print(f"wrote {noisy_path}")
 
         def eval_callback(epoch, pred, true):
             path = os.path.join(args.eval_dir, f"eval_epoch_{epoch:05d}.png")
             plot_ref_v_inference(true, pred, path)
             print(f"epoch {epoch}: wrote {path}")
 
+        metrics_path = os.path.join(args.eval_dir, "holdout_metrics.csv")
+
+        def holdout_callback(epoch, rel):
+            line = (f"{epoch},{float(np.mean(rel)):.6f},"
+                    f"{float(np.median(rel)):.6f},{float(np.min(rel)):.6f}")
+            with open(metrics_path, "a") as fh:
+                fh.write(line + "\n")
+            print(f"epoch {epoch}: holdout rel-L2 mean {np.mean(rel):.4f} "
+                  f"median {np.median(rel):.4f}")
+
     state, losses, _scales = train(
         jax.random.PRNGKey(args.seed), data, cfg,
         eval_every=args.eval_every, eval_callback=eval_callback,
-        stream_chunk=args.stream_chunk,
-        callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}"))
+        stream_chunk=args.stream_chunk, holdout=args.holdout,
+        holdout_callback=holdout_callback,
+        callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}", flush=True))
     print(f"final loss {losses[-1]:.6f}")
 
 
@@ -319,6 +347,9 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--stream-chunk", type=int, default=0,
                    help="stream the dataset from host in chunks of this many "
                         "samples (multiple of --batch; for datasets past HBM)")
+    f.add_argument("--holdout", type=int, default=0,
+                   help="withhold the last N samples from training and report "
+                        "per-eval-epoch relative-L2 of predicted vs true Ez")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")

@@ -251,9 +251,31 @@ def compute_scales_host(data: dict) -> dict:
     }
 
 
+def holdout_relative_l2(state: TrainState, schedule: DDPMSchedule, key,
+                        holdout: dict, scales: dict,
+                        num_inference_steps: int = 50) -> np.ndarray:
+    """Per-sample relative L2 of DDPM-predicted vs true Ez on a holdout
+    batch (physical units) — the quantitative surrogate metric the
+    reference never reports (it eyeballs per-epoch panels,
+    diffusion_training.py:382-394)."""
+    pred = inference(
+        state, schedule, key,
+        jnp.asarray(np.asarray(holdout["eps"]), jnp.float32),
+        jnp.asarray(np.asarray(holdout["mu"]), jnp.float32),
+        jnp.asarray(np.asarray(holdout["src"]), jnp.float32),
+        jnp.asarray(np.asarray(holdout["omega"]), jnp.float32).reshape(-1),
+        num_inference_steps=num_inference_steps, scales=scales)
+    pred = np.asarray(pred)
+    true = np.asarray(holdout["Ez"])
+    num = np.linalg.norm((pred - true).reshape(len(true), -1), axis=1)
+    den = np.linalg.norm(true.reshape(len(true), -1), axis=1) + 1e-30
+    return num / den
+
+
 def train(key, data: dict, config: TrainConfig,
           state: Optional[TrainState] = None, eval_every: int = 0,
-          eval_callback=None, callback=None, stream_chunk: int = 0):
+          eval_callback=None, callback=None, stream_chunk: int = 0,
+          holdout: int = 0, holdout_callback=None):
     """Epoch loop over a dataset dict (eps/mu/src/omega/Ez).
 
     Resumes from ``config.ckpt_dir`` if checkpoints exist there (including
@@ -261,10 +283,16 @@ def train(key, data: dict, config: TrainConfig,
     never depend on recomputing statistics from the original data).
 
     ``eval_every``/``eval_callback``: every N epochs run full DDPM inference
-    on the dataset's first sample and call
+    on one sample and call
     ``eval_callback(epoch, predicted_field, true_field)`` with PHYSICAL-unit
     (denormalized) arrays — the reference's per-epoch comparison panel
     (reference: python-src/diffusion_training.py:382-394).
+
+    ``holdout``: withhold the LAST ``holdout`` samples from training; every
+    ``eval_every`` epochs compute the per-sample relative L2 of predicted vs
+    true Ez over them (:func:`holdout_relative_l2`) and call
+    ``holdout_callback(epoch, rel_l2_per_sample)``. The eval panel then
+    shows holdout sample 0 (a field the model never trained on).
 
     ``stream_chunk``: 0 keeps the whole dataset on device and scans each
     epoch in one program. A positive value (a multiple of batch_size) keeps
@@ -274,7 +302,6 @@ def train(key, data: dict, config: TrainConfig,
     (different samples every epoch under the shuffle).
     """
     schedule = DDPMSchedule.create(config.num_train_timesteps)
-    n = data["Ez"].shape[0]
     shape = data["Ez"].shape[1:]
     key, k_init = jax.random.split(key)
     if state is None:
@@ -285,6 +312,13 @@ def train(key, data: dict, config: TrainConfig,
         state, start_epoch, ckpt_scales = restore_checkpoint(config.ckpt_dir, state)
 
     raw = {k: v for k, v in data.items() if k != "residuals"}
+    holdout_set = None
+    if holdout > 0:
+        if holdout >= data["Ez"].shape[0]:
+            raise ValueError(f"holdout={holdout} swallows the whole dataset")
+        holdout_set = {k: np.asarray(v[-holdout:]) for k, v in raw.items()}
+        raw = {k: v[:-holdout] for k, v in raw.items()}
+    n = raw["Ez"].shape[0]
     if stream_chunk:
         if stream_chunk % config.batch_size:
             raise ValueError(
@@ -308,10 +342,13 @@ def train(key, data: dict, config: TrainConfig,
         scales = ckpt_scales or compute_scales(raw)
         arrays = normalize(raw, scales)
 
-    # physical-unit eval sample (the reference inspects dataset sample 0)
+    # physical-unit eval sample: holdout sample 0 when a holdout exists
+    # (a field the model never trains on), else dataset sample 0 (the
+    # reference's choice)
     eval_sample = None
     if eval_every > 0 and eval_callback is not None:
-        eval_sample = {k: np.asarray(raw[k][0]) for k in
+        src_set = holdout_set if holdout_set is not None else raw
+        eval_sample = {k: np.asarray(src_set[k][0]) for k in
                        ("eps", "mu", "src", "omega", "Ez")}
 
     losses = []
@@ -355,6 +392,16 @@ def train(key, data: dict, config: TrainConfig,
                 jnp.asarray(eval_sample["omega"]).reshape(1),
                 scales=scales)
             eval_callback(epoch, np.asarray(pred[0]), eval_sample["Ez"])
+        if (holdout_set is not None and eval_every > 0
+                and (epoch + 1) % eval_every == 0):
+            key, k_h = jax.random.split(key)
+            rel = holdout_relative_l2(state, schedule, k_h, holdout_set,
+                                      scales)
+            if holdout_callback is not None:
+                holdout_callback(epoch, rel)
+            else:
+                print(f"epoch {epoch}: holdout rel-L2 "
+                      f"mean {rel.mean():.4f} median {np.median(rel):.4f}")
         if config.ckpt_dir and (epoch + 1) % config.ckpt_every == 0:
             save_checkpoint(config.ckpt_dir, state, epoch, scales=scales)
     # always persist the final state (the reference only saved every 10

@@ -182,3 +182,33 @@ def test_checkpoint_roundtrip(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert int(restored.step) == int(state.step)
+
+
+def test_train_holdout_metric(tmp_path):
+    """holdout: last-N samples withheld; rel-L2 computed per eval epoch;
+    panel uses the holdout sample (VERDICT r2 item 4's quantitative
+    surrogate metric)."""
+    from fdtd2d_tpu.models.train import TrainConfig, train
+
+    n, H = 12, 16
+    rng = np.random.default_rng(0)
+    data = {
+        "eps": jnp.asarray(rng.random((n, H, H)), jnp.float32),
+        "mu": jnp.ones((n, H, H), jnp.float32),
+        "src": jnp.zeros((n, H, H), jnp.float32),
+        "omega": jnp.full((n,), 2.4e10, jnp.float32),
+        "Ez": jnp.asarray(rng.standard_normal((n, H, H)), jnp.float32),
+    }
+    cfg = TrainConfig(batch_size=4, num_epochs=2, num_train_timesteps=20)
+    seen = []
+    panels = []
+    _, losses, _ = train(
+        jax.random.PRNGKey(0), data, cfg, eval_every=1,
+        eval_callback=lambda e, p, t: panels.append((e, p.shape, t.shape)),
+        holdout=4, holdout_callback=lambda e, rel: seen.append((e, rel)))
+    assert len(losses) == 2
+    assert [e for e, _ in seen] == [0, 1]
+    for _, rel in seen:
+        assert rel.shape == (4,)
+        assert np.all(np.isfinite(rel)) and np.all(rel > 0)
+    assert panels and panels[0][1] == (H, H)
