@@ -162,8 +162,8 @@ def cmd_train(args):
 
     raw = np.load(args.data)
     keys = ("eps", "mu", "src", "omega", "Ez")
-    if args.stream_chunk:
-        data = {k: raw[k] for k in keys}          # host-resident, streamed
+    if args.stream_chunk or args.device_cache:
+        data = {k: raw[k] for k in keys}    # host numpy; train() transfers
     else:
         data = {k: jnp.asarray(raw[k]) for k in keys}
     cfg = TrainConfig(lr=args.lr, batch_size=args.batch, num_epochs=args.epochs,
@@ -212,6 +212,7 @@ def cmd_train(args):
         eval_every=args.eval_every, eval_callback=eval_callback,
         stream_chunk=args.stream_chunk, holdout=args.holdout,
         holdout_callback=holdout_callback,
+        device_dtype=(jnp.float16 if args.device_cache else None),
         callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}", flush=True))
     print(f"final loss {losses[-1]:.6f}")
 
@@ -350,6 +351,10 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--holdout", type=int, default=0,
                    help="withhold the last N samples from training and report "
                         "per-eval-epoch relative-L2 of predicted vs true Ez")
+    f.add_argument("--device-cache", action="store_true",
+                   help="keep the whole dataset on device, inputs in f16 "
+                        "(exact for binary/mask channels) — epochs run at "
+                        "compute speed with no per-epoch host streaming")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")

@@ -126,7 +126,9 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
         state, key = carry
         key, k_step = jax.random.split(key)
         idx = jax.lax.dynamic_slice(perm, (k * batch_size,), (batch_size,))
-        batch = {name: v[idx] for name, v in data.items()}
+        # astype: data may live on device in float16 (the compact cache for
+        # datasets near HBM capacity); the model runs f32
+        batch = {name: v[idx].astype(jnp.float32) for name, v in data.items()}
         state, loss = train_step(state, schedule, k_step, batch,
                                  snr_gamma=snr_gamma, t_gamma=t_gamma)
         return (state, key), loss
@@ -253,19 +255,28 @@ def compute_scales_host(data: dict) -> dict:
 
 def holdout_relative_l2(state: TrainState, schedule: DDPMSchedule, key,
                         holdout: dict, scales: dict,
-                        num_inference_steps: int = 50) -> np.ndarray:
+                        num_inference_steps: int = 50,
+                        chunk: int = 8) -> np.ndarray:
     """Per-sample relative L2 of DDPM-predicted vs true Ez on a holdout
     batch (physical units) — the quantitative surrogate metric the
     reference never reports (it eyeballs per-epoch panels,
-    diffusion_training.py:382-394)."""
-    pred = inference(
-        state, schedule, key,
-        jnp.asarray(np.asarray(holdout["eps"]), jnp.float32),
-        jnp.asarray(np.asarray(holdout["mu"]), jnp.float32),
-        jnp.asarray(np.asarray(holdout["src"]), jnp.float32),
-        jnp.asarray(np.asarray(holdout["omega"]), jnp.float32).reshape(-1),
-        num_inference_steps=num_inference_steps, scales=scales)
-    pred = np.asarray(pred)
+    diffusion_training.py:382-394). Inference runs in ``chunk``-sized
+    slices: a full-holdout UNet batch at 256^2 costs several GB of
+    activations, which must not evict a device-resident dataset."""
+    n = np.asarray(holdout["Ez"]).shape[0]
+    preds = []
+    for c0 in range(0, n, chunk):
+        sl = slice(c0, min(c0 + chunk, n))
+        key, k = jax.random.split(key)
+        preds.append(np.asarray(inference(
+            state, schedule, k,
+            jnp.asarray(np.asarray(holdout["eps"][sl]), jnp.float32),
+            jnp.asarray(np.asarray(holdout["mu"][sl]), jnp.float32),
+            jnp.asarray(np.asarray(holdout["src"][sl]), jnp.float32),
+            jnp.asarray(np.asarray(holdout["omega"][sl]),
+                        jnp.float32).reshape(-1),
+            num_inference_steps=num_inference_steps, scales=scales)))
+    pred = np.concatenate(preds)
     true = np.asarray(holdout["Ez"])
     num = np.linalg.norm((pred - true).reshape(len(true), -1), axis=1)
     den = np.linalg.norm(true.reshape(len(true), -1), axis=1) + 1e-30
@@ -275,7 +286,8 @@ def holdout_relative_l2(state: TrainState, schedule: DDPMSchedule, key,
 def train(key, data: dict, config: TrainConfig,
           state: Optional[TrainState] = None, eval_every: int = 0,
           eval_callback=None, callback=None, stream_chunk: int = 0,
-          holdout: int = 0, holdout_callback=None):
+          holdout: int = 0, holdout_callback=None,
+          device_dtype=None):
     """Epoch loop over a dataset dict (eps/mu/src/omega/Ez).
 
     Resumes from ``config.ckpt_dir`` if checkpoints exist there (including
@@ -300,6 +312,13 @@ def train(key, data: dict, config: TrainConfig,
     that many samples per dispatch — the path for datasets past HBM (e.g.
     10k scenes at 250^2: ~12 GB). A ragged tail chunk is dropped each epoch
     (different samples every epoch under the shuffle).
+
+    ``device_dtype`` (non-stream path only): store the normalized eps/mu/src
+    INPUT channels on device in this dtype (e.g. ``jnp.float16``, exact for
+    the binary/mask channels) while Ez labels stay f32 — a 2x device-memory
+    cut that fits the 10k x 256^2 dataset in HBM, so epochs run at pure
+    compute speed instead of re-streaming ~13 GB through this environment's
+    slow host<->device tunnel every epoch.
     """
     schedule = DDPMSchedule.create(config.num_train_timesteps)
     shape = data["Ez"].shape[1:]
@@ -338,6 +357,20 @@ def train(key, data: dict, config: TrainConfig,
         # leak via x64 promotion breaks the train_epoch scan carry)
         scales = jax.tree.map(lambda v: v.astype(jnp.float32), scales)
         arrays = None  # host-resident; chunks normalized after transfer
+    elif device_dtype is not None:
+        scales = ckpt_scales or (compute_scales_host(raw)
+                                 if isinstance(raw["Ez"], np.ndarray)
+                                 else compute_scales(raw))
+        scales = jax.tree.map(lambda v: v.astype(jnp.float32), scales)
+        arrays = {}
+        for k in ("eps", "mu", "src", "omega", "Ez"):
+            v = np.asarray(raw[k], np.float32)
+            if k in scales:
+                v = v / np.float32(scales[k])
+            tgt = np.float32 if k in ("Ez", "omega") else np.dtype(device_dtype)
+            # cast on the HOST: halves the one-time transfer too
+            arrays[k] = jnp.asarray(np.asarray(v, tgt))
+            del v
     else:
         scales = ckpt_scales or compute_scales(raw)
         arrays = normalize(raw, scales)

@@ -212,3 +212,17 @@ def test_train_holdout_metric(tmp_path):
         assert rel.shape == (4,)
         assert np.all(np.isfinite(rel)) and np.all(rel > 0)
     assert panels and panels[0][1] == (H, H)
+
+
+def test_train_device_cache_f16():
+    """device_dtype=float16 compact cache: inputs stored f16 on device,
+    training still converges finitely and matches the f32 path's API."""
+    from fdtd2d_tpu.models.train import TrainConfig, train
+
+    data = {k: np.asarray(v) for k, v in _tiny_data(n=8).items()}
+    cfg = TrainConfig(batch_size=4, num_epochs=2)
+    state, losses, scales = train(
+        jax.random.PRNGKey(0), data, cfg, device_dtype=jnp.float16,
+        state=create_state(jax.random.PRNGKey(2), (32, 32), cfg,
+                           model=_tiny_model()))
+    assert len(losses) == 2 and all(np.isfinite(losses))
