@@ -5,6 +5,10 @@ from fdtd2d_tpu.parallel.sharded import (
     simulate_sharded,
     sharded_matvec_shardmap,
 )
+from fdtd2d_tpu.parallel.direct_sharded import (
+    factor_sharded,
+    solve_factored_sharded,
+)
 from fdtd2d_tpu.parallel.fdtd_sharded import (
     plan_sharded_ttiled,
     simulate_sharded_ttiled,
@@ -21,4 +25,6 @@ __all__ = [
     "plan_sharded_ttiled",
     "sharded_matvec_shardmap",
     "run_fdfd_tiled_sharded",
+    "factor_sharded",
+    "solve_factored_sharded",
 ]

@@ -137,3 +137,28 @@ def test_direct_batched_vmap():
         res = np.linalg.norm(np.asarray(op.apply(xs[i]) - b)) / \
             np.linalg.norm(np.asarray(b))
         assert res < 1e-10, f"batched direct residual (scene {i}): {res:.2e}"
+
+
+def test_direct_sharded_sublattices_match_single_device():
+    """The four independent sublattices sharded over a 4-device mesh axis
+    must reproduce the single-device factored solve exactly."""
+    from fdtd2d_tpu.parallel.mesh import make_mesh
+    from fdtd2d_tpu.parallel.direct_sharded import (
+        factor_sharded, solve_factored_sharded)
+
+    N, dx, omega = 96, 1e-3, 17e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=16,
+                       dtype=jnp.complex128)
+    b = jnp.asarray(-1j * omega * src)
+
+    want = solve_direct(op, b)
+    mesh = make_mesh((4,), axis_names=("s",))
+    f = factor_sharded(op, mesh)
+    got = solve_factored_sharded(f, b)
+    err = np.max(np.abs(np.asarray(got - want)))
+    scale = np.max(np.abs(np.asarray(want)))
+    assert err / scale < 1e-12, f"sharded direct mismatch: {err/scale:.2e}"
+    res = np.linalg.norm(np.asarray(op.apply(got) - b)) / \
+        np.linalg.norm(np.asarray(b))
+    assert res < 1e-10
