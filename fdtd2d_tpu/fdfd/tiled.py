@@ -27,6 +27,17 @@ TPU-native redesign:
   (tiled_solver.py:62-99) without materializing a matrix.
 - ``fdtd2d_tpu/parallel/tiled_sharded.py`` runs the same two-level solve
   with the patch axis sharded over a device mesh.
+
+APPLICABILITY BOUNDARY (measured, round 3): the two-level preconditioner
+converges on smooth/moderate-contrast media (block scenes at 2.5x: 30
+outer iterations at 1024^2) but STALLS around 0.3 relative residual on
+50%-duty binary 5x media at ~lambda/8 resolution — strong multiple
+scattering defeats both the uniform-medium FDM coarse level and 4-iteration
+patch solves. (Round 2's "5x-binary" convergence claims used a scene that
+thresholded a blurred standard normal at ~5 sigma and was accidentally
+near-uniform.) For hard media use the exact sublattice direct factorization
+(fdtd2d_tpu/fdfd/direct.py), which is contrast-independent; the tiled path
+remains the scalable option past the direct solver's factor-memory wall.
 """
 
 from __future__ import annotations
