@@ -125,20 +125,27 @@ def _stack_ops(problem: InverseDesignProblem, dtype):
 
 
 def make_response_fn(problem: InverseDesignProblem, dtype=jnp.complex64):
-    """Returns jitted ``responses(design) -> (F,)`` and ``loss(design)``."""
+    """Returns jitted ``responses(design) -> (F,)`` and ``loss(design)``.
+
+    ``loss.value_and_grad(design, x0s=None)`` additionally returns the
+    converged per-frequency fields as aux, so optimization loops can warm-
+    start the next step's forward solves (``x0s`` (F, Nx, Ny) complex)."""
     ops, Ms = _stack_ops(problem, dtype)
     rs, cs = problem.design_region
     pr, pc = problem.probe_region
     ideal = problem.ideal_response
+    F = len(problem.omegas)
+    Nx, Ny = problem.eps_base.shape
 
-    def one_freq(op: HelmholtzOperator, M, eps, b):
+    def one_freq(op: HelmholtzOperator, M, eps, b, x0):
         op = dataclasses.replace(op, eps=eps.astype(op.eps.dtype))
         x = solve_helmholtz_differentiable(op, b, preconditioner=M,
-                                           tol=problem.tol, maxiter=problem.maxiter)
-        return jnp.mean(jnp.abs(x)[pr, pc])
+                                           tol=problem.tol,
+                                           maxiter=problem.maxiter, x0=x0)
+        return jnp.mean(jnp.abs(x)[pr, pc]), x
 
     @jax.jit
-    def _responses(design, ops, Ms):
+    def _responses(design, ops, Ms, x0s):
         # complex arrays enter as jit ARGUMENTS (closure-captured complex
         # constants become HLO literals — unimplemented on this TPU backend);
         # design lives in relative units in [1, 3] (reference clip bounds),
@@ -148,24 +155,37 @@ def make_response_fn(problem: InverseDesignProblem, dtype=jnp.complex64):
         eps = problem.eps_base.at[rs, cs].set(design * constants.EPSILON_0)
         # reference RHS convention: b = +1j * omega * source (inverse_design.py:16)
         bs = jax.vmap(lambda op: (1j * op.omega) * problem.source.astype(dtype))(ops)
-        return jax.vmap(one_freq, in_axes=(0, 0, None, 0))(ops, Ms, eps, bs)
+        return jax.vmap(one_freq, in_axes=(0, 0, None, 0, 0))(
+            ops, Ms, eps, bs, x0s)
 
     @jax.jit
-    def _loss(design, ops, Ms):
-        r = _responses(design, ops, Ms)
+    def _loss(design, ops, Ms, x0s):
+        r, xs = _responses(design, ops, Ms, x0s)
         r = r / jnp.max(r)
-        return jnp.mean((r - ideal) ** 2)
+        return jnp.mean((r - ideal) ** 2), xs
 
-    _vag = jax.jit(jax.value_and_grad(_loss))
+    _vag = jax.jit(jax.value_and_grad(_loss, has_aux=True))
 
-    def responses(design):
-        return _responses(design, ops, Ms)
+    def _zeros_x0():
+        # complex zeros assembled on device INSIDE jit would be fine, but as
+        # an eager argument it must go through the cplx helpers
+        from fdtd2d_tpu.ops.cplx import czeros
 
-    def loss(design):
-        return _loss(design, ops, Ms)
+        return czeros((F, Nx, Ny), dtype)
 
-    def loss_and_grad(design):
-        return _vag(design, ops, Ms)
+    def responses(design, x0s=None):
+        r, _ = _responses(design, ops, Ms,
+                          _zeros_x0() if x0s is None else x0s)
+        return r
+
+    def loss(design, x0s=None):
+        v, _ = _loss(design, ops, Ms, _zeros_x0() if x0s is None else x0s)
+        return v
+
+    def loss_and_grad(design, x0s=None):
+        (v, xs), g = _vag(design, ops, Ms,
+                          _zeros_x0() if x0s is None else x0s)
+        return v, g, xs
 
     loss.value_and_grad = loss_and_grad
     return responses, loss
@@ -212,16 +232,19 @@ def optimize(problem: InverseDesignProblem, *, steps: int = 100, lr: float = 0.0
         return design, opt_state
 
     history = []
+    x0s = None
     for step in range(steps):
-        value, g = grad_fn(design)
+        value, g, xs = grad_fn(design, x0s)
+        x0s = xs  # warm-start the next step's forward solves
         design, opt_state = update(design, opt_state, g)
         history.append(float(value))
         if callback is not None and (step % log_every == 0 or step == steps - 1):
             callback(step, float(value), design)
     # final responses at the problem's own (tight) tolerance
-    responses_final, _ = (make_response_fn(problem, dtype)
-                          if loop_problem is not problem else (responses, None))
-    return design, responses_final(design), history
+    responses_final = responses
+    if loop_problem is not problem:
+        responses_final, _ = make_response_fn(problem, dtype)
+    return design, responses_final(design, x0s), history
 
 
 def binarize(design, clip: Tuple[float, float] = (1.0, 3.0)):

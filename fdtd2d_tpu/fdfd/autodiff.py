@@ -32,14 +32,14 @@ from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator, _dcol, _drow
 from fdtd2d_tpu.fdfd.solver import _solve_core, resolve_preconditioner
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
-def _solve(op: HelmholtzOperator, b, M, method, builtin_pc, tol, maxiter):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _solve(op: HelmholtzOperator, b, M, x0, method, builtin_pc, tol, maxiter):
     return _solve_core(op, b, M, method=method, builtin_pc=builtin_pc,
-                       tol=tol, maxiter=maxiter, restart=40).x
+                       tol=tol, maxiter=maxiter, restart=40, x0=x0).x
 
 
-def _solve_fwd(op, b, M, method, builtin_pc, tol, maxiter):
-    x = _solve(op, b, M, method, builtin_pc, tol, maxiter)
+def _solve_fwd(op, b, M, x0, method, builtin_pc, tol, maxiter):
+    x = _solve(op, b, M, x0, method, builtin_pc, tol, maxiter)
     return x, (op, M, x)
 
 
@@ -74,7 +74,9 @@ def _solve_bwd(method, builtin_pc, tol, maxiter, residuals, g):
         m=op.m,
     )
     M_bar = jax.tree.map(jnp.zeros_like, M)
-    return op_bar, b_bar.reshape(op.shape), M_bar
+    # x0 carries zero cotangent: at convergence the solution is independent
+    # of the warm start (same IFT argument that justifies not unrolling)
+    return op_bar, b_bar.reshape(op.shape), M_bar, jnp.zeros_like(g)
 
 
 _solve.defvjp(_solve_fwd, _solve_bwd)
@@ -84,12 +86,20 @@ def solve_helmholtz_differentiable(op: HelmholtzOperator, b, *,
                                    method: str = "fgmres",
                                    preconditioner="fdm",
                                    tol: float = 1e-6,
-                                   maxiter: int = 2000) -> jax.Array:
+                                   maxiter: int = 2000,
+                                   x0=None) -> jax.Array:
     """Differentiable x = A^{-1} b; grads flow to op.eps, op.inv_mu, and b.
 
     With ``preconditioner="fdm"`` this must be called outside jit (host-side
     factor build); pass a prebuilt FDMPreconditioner when tracing.
+
+    ``x0``: optional warm start (e.g. the previous optimization step's
+    field — designs move slowly, so late-optimization solves start within
+    1e-2..1e-3 of the answer and FGMRES skips most of its iterations). The
+    warm start receives a zero cotangent.
     """
     b = b.reshape(op.shape).astype(op.dtype)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
     M, builtin = resolve_preconditioner(op, preconditioner)
-    return _solve(op, b, M, method, builtin, tol, maxiter)
+    return _solve(op, b, M, x0, method, builtin, tol, maxiter)

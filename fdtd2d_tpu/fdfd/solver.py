@@ -107,7 +107,8 @@ class RefinedSolveResult(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("method", "builtin_pc", "maxiter", "restart", "tol"))
-def _solve_core(op, b, M, *, method, builtin_pc, tol, maxiter, restart):
+def _solve_core(op, b, M, *, method, builtin_pc, tol, maxiter, restart,
+                x0=None):
     Nx, Ny = op.shape
     b2 = b.reshape(Nx, Ny).astype(op.dtype)
 
@@ -120,7 +121,8 @@ def _solve_core(op, b, M, *, method, builtin_pc, tol, maxiter, restart):
     if method == "fgmres":
         from fdtd2d_tpu.ops.krylov import fgmres
 
-        out = fgmres(matvec, b2, M, restart=restart, maxiter=maxiter, tol=tol)
+        out = fgmres(matvec, b2, M, restart=restart, maxiter=maxiter, tol=tol,
+                     x0=None if x0 is None else x0.reshape(Nx, Ny).astype(op.dtype))
         x = out.x
     elif method == "bicgstab":
         x, _ = jax.scipy.sparse.linalg.bicgstab(
