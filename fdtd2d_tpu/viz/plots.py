@@ -138,3 +138,29 @@ def plot_frequency_response(omegas, measured, ideal=None,
     plt.grid(alpha=0.3)
     plt.savefig(path, dpi=150, bbox_inches="tight")
     plt.close()
+
+
+def plot_training_curves(losses: Sequence[float],
+                         holdout_epochs: Optional[Sequence[int]] = None,
+                         holdout_rel_l2: Optional[Sequence[float]] = None,
+                         path: str = "training_curves.png") -> None:
+    """Loss curve (+ optional holdout relative-L2 on a twin axis) for a
+    surrogate training run — the quantitative record the reference's
+    per-epoch eyeball panels lack."""
+    plt = _plt()
+    fig, ax1 = plt.subplots(figsize=(8, 5))
+    ax1.plot(np.arange(len(losses)), np.asarray(losses), color="tab:blue",
+             label="train loss (SNR-weighted MSE)")
+    ax1.set_xlabel("epoch")
+    ax1.set_ylabel("train loss", color="tab:blue")
+    ax1.set_yscale("log")
+    if holdout_epochs is not None and holdout_rel_l2 is not None:
+        ax2 = ax1.twinx()
+        ax2.plot(np.asarray(holdout_epochs), np.asarray(holdout_rel_l2),
+                 color="tab:red", marker="o",
+                 label="holdout rel-L2 (mean)")
+        ax2.set_ylabel("holdout relative L2", color="tab:red")
+        ax2.set_yscale("log")
+    fig.tight_layout()
+    plt.savefig(path, dpi=150)
+    plt.close(fig)
