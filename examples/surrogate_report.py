@@ -1,0 +1,125 @@
+"""Post-training surrogate report: quantitative holdout metrics + panels.
+
+Restores the final checkpoint (weights + normalization scales), runs DDPM
+inference over the held-out scenes, and reports:
+
+- per-sample relative L2 (the raw metric; amplitude-dominated — scene field
+  norms span orders of magnitude),
+- per-sample Pearson correlation between predicted and true fields
+  (scale-invariant structure metric),
+- best-scalar-fit relative L2: min_a ||a*pred - true|| / ||true||
+  (what the prediction explains after amplitude calibration),
+
+writes the best/median/worst predicted-vs-true panels and the training
+curves (loss + holdout rel-L2) to assets.
+
+Run: python examples/surrogate_report.py DATA.npz CKPT_DIR EVAL_DIR OUT_DIR [HOLDOUT]
+"""
+
+import os
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fdtd2d_tpu.models.diffusion import DDPMSchedule
+from fdtd2d_tpu.models.train import (TrainConfig, create_state, inference,
+                                     restore_checkpoint)
+from fdtd2d_tpu.viz.plots import plot_ref_v_inference, plot_training_curves
+
+
+def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
+    os.makedirs(out_dir, exist_ok=True)
+    raw = np.load(data_path)
+    hold = {k: np.asarray(raw[k][-holdout:]) for k in
+            ("eps", "mu", "src", "omega", "Ez")}
+
+    cfg = TrainConfig()
+    state = create_state(jax.random.PRNGKey(0), hold["Ez"].shape[1:], cfg)
+    state, epoch, scales = restore_checkpoint(ckpt_dir, state)
+    if epoch == 0:
+        raise SystemExit(f"no checkpoint in {ckpt_dir}")
+    print(f"restored epoch {epoch - 1}")
+    schedule = DDPMSchedule.create(cfg.num_train_timesteps)
+
+    preds = []
+    key = jax.random.PRNGKey(123)
+    for c0 in range(0, holdout, 8):
+        sl = slice(c0, min(c0 + 8, holdout))
+        key, k = jax.random.split(key)
+        preds.append(np.asarray(inference(
+            state, schedule, k,
+            jnp.asarray(hold["eps"][sl]), jnp.asarray(hold["mu"][sl]),
+            jnp.asarray(hold["src"][sl]),
+            jnp.asarray(hold["omega"][sl]).reshape(-1),
+            scales=scales)))
+        print(f"inferred {sl.stop}/{holdout}", flush=True)
+    pred = np.concatenate(preds)
+    true = hold["Ez"]
+
+    P = pred.reshape(holdout, -1).astype(np.float64)
+    T = true.reshape(holdout, -1).astype(np.float64)
+    tn = np.linalg.norm(T, axis=1) + 1e-30
+    rel = np.linalg.norm(P - T, axis=1) / tn
+    # Pearson correlation per sample
+    Pc = P - P.mean(axis=1, keepdims=True)
+    Tc = T - T.mean(axis=1, keepdims=True)
+    corr = (Pc * Tc).sum(1) / (np.linalg.norm(Pc, axis=1)
+                               * np.linalg.norm(Tc, axis=1) + 1e-30)
+    # best scalar amplitude fit a* = <P,T>/<P,P>
+    a = (P * T).sum(1) / ((P * P).sum(1) + 1e-30)
+    rel_fit = np.linalg.norm(a[:, None] * P - T, axis=1) / tn
+
+    def stats(v):
+        return (f"mean {np.mean(v):.4f} median {np.median(v):.4f} "
+                f"best {np.min(v):.4f} worst {np.max(v):.4f}")
+
+    print(f"holdout ({holdout} scenes, epoch {epoch - 1}):")
+    print(f"  relative L2        : {stats(rel)}")
+    print(f"  best-fit rel L2    : {stats(rel_fit)}")
+    print(f"  Pearson corr       : mean {np.mean(corr):.4f} "
+          f"median {np.median(corr):.4f} best {np.max(corr):.4f} "
+          f"worst {np.min(corr):.4f}")
+    np.savez(os.path.join(out_dir, "holdout_report.npz"),
+             rel=rel, rel_fit=rel_fit, corr=corr)
+
+    order = np.argsort(rel_fit)
+    for tag, idx in (("best", order[0]), ("median", order[holdout // 2]),
+                     ("worst", order[-1])):
+        plot_ref_v_inference(true[idx], pred[idx],
+                             os.path.join(out_dir, f"holdout_{tag}.png"))
+    print(f"wrote holdout_[best|median|worst].png to {out_dir}")
+
+    # training curves from the CLI logs
+    csv = os.path.join(eval_dir, "holdout_metrics.csv")
+    ep, mean_rel = [], []
+    if os.path.exists(csv):
+        for line in open(csv):
+            f = line.strip().split(",")
+            ep.append(int(f[0])); mean_rel.append(float(f[1]))
+    losses = []
+    log = os.path.join(os.path.dirname(eval_dir), "train100.log")
+    if os.path.exists(log):
+        import re
+
+        for line in open(log):
+            m = re.match(r"epoch (\d+): loss ([0-9.eE+-]+)$", line.strip())
+            if m:
+                losses.append(float(m.group(2)))
+    if losses:
+        plot_training_curves(losses, ep or None, mean_rel or None,
+                             os.path.join(out_dir, "training_curves.png"))
+        print(f"wrote training_curves.png ({len(losses)} epochs)")
+
+
+if __name__ == "__main__":
+    from fdtd2d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    a = sys.argv[1:]
+    main(a[0] if a else "runs/data10k.npz",
+         a[1] if len(a) > 1 else "runs/ckpt10k",
+         a[2] if len(a) > 2 else "runs/eval10k",
+         a[3] if len(a) > 3 else "assets/surrogate",
+         int(a[4]) if len(a) > 4 else 64)
