@@ -210,16 +210,18 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState):
     template = {"params": state.params, "batch_stats": state.batch_stats,
                 "opt_state": state.opt_state, "step": state.step, "epoch": 0}
     scale_template = {k: jnp.zeros(()) for k in ("eps", "mu", "Ez", "omega")}
-    path = f"{ckpt_dir}/epoch_{epoch:05d}"
+    path = os.path.abspath(f"{ckpt_dir}/epoch_{epoch:05d}")  # orbax requires absolute
     try:
         payload = ckptr.restore(path, dict(template, scales=scale_template))
         scales = payload["scales"]
     except (KeyError, ValueError) as e:
         # pre-scales checkpoint layout only: orbax raises KeyError/ValueError
         # when the stored tree lacks the 'scales' subtree. Anything else
-        # (corruption, dtype mismatch) must propagate — silently returning
-        # scales=None would reintroduce the normalization-drift bug the
-        # persisted scales exist to prevent.
+        # (corruption, dtype mismatch, bad path) must propagate — silently
+        # returning scales=None would reintroduce the normalization-drift
+        # bug the persisted scales exist to prevent.
+        if "scales" not in str(e):
+            raise
         import warnings
 
         warnings.warn(
