@@ -1,8 +1,9 @@
 from fdtd2d_tpu.ops.helmholtz import make_operator, HelmholtzOperator
 from fdtd2d_tpu.fdfd.solver import solve_fdfd, run_fdfd, shifted_laplacian_preconditioner
 from fdtd2d_tpu.fdfd.autodiff import solve_helmholtz_differentiable
-from fdtd2d_tpu.fdfd.direct import (DirectSolver, factor, solve_direct,
-                                    solve_factored)
+from fdtd2d_tpu.fdfd.direct import (DirectSolver, factor,
+                                    factor_checkpointed, solve_checkpointed,
+                                    solve_direct, solve_factored)
 from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled, TiledSolver
 from fdtd2d_tpu.fdfd.refine import refine, RefineResult
 
@@ -17,6 +18,8 @@ __all__ = [
     "factor",
     "solve_direct",
     "solve_factored",
+    "factor_checkpointed",
+    "solve_checkpointed",
     "refine",
     "RefineResult",
     "shifted_laplacian_preconditioner",

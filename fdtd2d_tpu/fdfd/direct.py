@@ -51,6 +51,7 @@ differences in ops/helmholtz.py:100-108,
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import Tuple
 
@@ -204,6 +205,159 @@ def solve_direct(op: HelmholtzOperator, b) -> jax.Array:
     return solve_factored(factor(op), b)
 
 
+# ---------------------------------------------------------------------------
+# Segment-checkpointed variant: exact solves past the store-all-W memory wall
+# ---------------------------------------------------------------------------
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CkptSublatticeFactors:
+    """Checkpointed block-Thomas state for one sublattice: W stored only
+    every ``stride`` block rows plus the final row, with the tridiagonal
+    inputs kept so intermediate inverses can be recomputed per segment.
+    Memory: (nr/stride + 1) * nc^2 instead of nr * nc^2 — at 2048^2 that is
+    ~0.6 GB per sublattice (stride 32) instead of 8.6 GB. The price: each
+    solve re-runs the inversion recursion twice (forward + backward pass),
+    so this is the ONE-SHOT/large-grid path; below the memory wall use
+    :func:`factor` (stored inverses, millisecond repeat solves)."""
+
+    Wc: jax.Array       # (nseg, nc, nc) checkpoints W_{k*stride}
+    Wlast: jax.Array    # (nc, nc) W_{nr-1}
+    d: jax.Array        # (nr, nc) tridiagonal inputs
+    e: jax.Array
+    w: jax.Array
+    nvals: jax.Array
+    svals: jax.Array
+    stride: int = dataclasses.field(metadata=dict(static=True))
+
+
+def _w_step(Wprev, d_r, e_r, w_r, n_r, s_rm1):
+    U = _tridiag(d_r, e_r, w_r) - n_r[:, None] * Wprev * s_rm1[None, :]
+    return _cinv(U)
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _factor_sub_ckpt(d, e, w, nvals, svals, *, stride: int):
+    nr = d.shape[0]
+    assert nr % stride == 0, f"rows {nr} must divide the stride {stride}"
+    nseg = nr // stride
+    W0 = _cinv(_tridiag(d[0], e[0], w[0]))
+
+    def row(carry, r):
+        W = _w_step(carry, d[r], e[r], w[r], nvals[r], svals[r - 1])
+        return W, None
+
+    def seg(Wk, k):
+        # advance stride rows from checkpoint row k*stride
+        Wnext, _ = jax.lax.scan(
+            row, Wk, k * stride + 1 + jnp.arange(stride))
+        return Wnext, Wk
+
+    Wend, Wc = jax.lax.scan(seg, W0, jnp.arange(nseg - 1))
+    # last segment stops at row nr-1 (stride-1 steps)
+    Wlast, _ = jax.lax.scan(row, Wend, (nseg - 1) * stride + 1
+                            + jnp.arange(stride - 1))
+    Wc = jnp.concatenate([Wc, Wend[None]], axis=0)
+    return Wc, Wlast
+
+
+@jax.jit
+def _solve_sub_ckpt(f: CkptSublatticeFactors, b):
+    """Forward pass recomputes W ascending (z_r = W_r y_r); backward pass
+    recomputes each segment's W block from its checkpoint, then walks the
+    segment in reverse. Two inversion sweeps per solve."""
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    nr = f.d.shape[0]
+    stride = f.stride
+    nseg = nr // stride
+
+    z0 = mm(f.Wc[0], b[0])  # Wc[0] = inv(A_0)
+
+    def fwd(carry, r):
+        W, z = carry
+        W = _w_step(W, f.d[r], f.e[r], f.w[r], f.nvals[r], f.svals[r - 1])
+        z = mm(W, b[r] - f.nvals[r] * z)
+        return (W, z), z
+
+    W0 = f.Wc[0]  # = inv(A_0)
+    (_, _), zs_rest = jax.lax.scan(fwd, (W0, z0), 1 + jnp.arange(nr - 1))
+    zs = jnp.concatenate([z0[None], zs_rest], axis=0)
+
+    def seg_ws(k):
+        """(stride, nc, nc) W for rows [k*stride, (k+1)*stride)."""
+        def row(carry, r):
+            W = _w_step(carry, f.d[r], f.e[r], f.w[r], f.nvals[r],
+                        f.svals[r - 1])
+            return W, W
+
+        Wk = f.Wc[k]
+        _, Ws = jax.lax.scan(row, Wk, k * stride + 1 + jnp.arange(stride - 1))
+        return jnp.concatenate([Wk[None], Ws], axis=0)
+
+    x_last = zs[nr - 1]
+
+    def bwd_seg(xnext, k):
+        Ws = seg_ws(k)
+
+        def bwd_row(xn, j):
+            r = k * stride + j
+            # the global last row's x is fixed (x_last); rows beyond use W
+            x_r = zs[r] - mm(Ws[j], f.svals[r] * xn)
+            return x_r, x_r
+
+        # walk rows (k+1)*stride-1 .. k*stride in reverse; the very last
+        # global row (nr-1) is handled by seeding xnext = x_last
+        js = jnp.arange(stride)
+        xn, xs = jax.lax.scan(bwd_row, xnext, js, reverse=True)
+        return xn, xs
+
+    # top segment: rows [(nseg-1)*stride, nr): its last row is nr-1 = x_last
+    def bwd_seg_last(k):
+        Ws = seg_ws(k)
+
+        def bwd_row(xn, j):
+            r = k * stride + j
+            x_r = zs[r] - mm(Ws[j], f.svals[r] * xn)
+            return x_r, x_r
+
+        xn, xs = jax.lax.scan(bwd_row, x_last, jnp.arange(stride - 1),
+                              reverse=True)
+        return xn, jnp.concatenate([xs, x_last[None]], axis=0)
+
+    xn, xs_top = bwd_seg_last(nseg - 1)
+    xn, xs_main = jax.lax.scan(bwd_seg, xn, jnp.arange(nseg - 1),
+                               reverse=True)
+    # xs_main: (nseg-1, stride, nc) in segment order
+    xs = jnp.concatenate([xs_main.reshape(-1, b.shape[1]), xs_top], axis=0)
+    return xs
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def factor_checkpointed(op: HelmholtzOperator, stride: int = 32):
+    """Checkpointed factorization of all four sublattices (even Nx/Ny only
+    so every sublattice has the same row count, divisible by ``stride``)."""
+    d, e, w, s, n = five_point_coefficients(op)
+    subs = []
+    for (px, py) in _PARITIES:
+        sub = lambda a: a[px::2, py::2]
+        ds, es, ws, ns, ss = sub(d), sub(e), sub(w), sub(n), sub(s)
+        Wc, Wlast = _factor_sub_ckpt(ds, es, ws, ns, ss, stride=stride)
+        subs.append(CkptSublatticeFactors(Wc=Wc, Wlast=Wlast, d=ds, e=es,
+                                          w=ws, nvals=ns, svals=ss,
+                                          stride=stride))
+    return tuple(subs)
+
+
+@jax.jit
+def solve_checkpointed(subs, b) -> jax.Array:
+    """x = A^{-1} b from :func:`factor_checkpointed` factors; b (Nx, Ny)."""
+    x = jnp.zeros_like(b)
+    for (px, py), fs in zip(_PARITIES, subs):
+        x = x.at[px::2, py::2].set(_solve_sub_ckpt(fs, b[px::2, py::2]))
+    return x
+
+
 class DirectSolver:
     """Build-once / solve-many exact solver with f64 refinement.
 
@@ -215,7 +369,8 @@ class DirectSolver:
     """
 
     def __init__(self, eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
-                 sigma_max: float = 2.0, m: int = 3, dtype=jnp.complex64):
+                 sigma_max: float = 2.0, m: int = 3, dtype=jnp.complex64,
+                 checkpointed: bool = False, stride: int = 32):
         import numpy as np
 
         from fdtd2d_tpu.ops.helmholtz import make_operator
@@ -225,7 +380,14 @@ class DirectSolver:
         self.dtype = dtype
         self.op = make_operator(eps, mu, dx, dy, self.omega,
                                 pml_thickness, sigma_max, m, dtype)
-        self.factors = factor(self.op)
+        if checkpointed:
+            # past-the-memory-wall mode (2048^2+): stores W every `stride`
+            # rows; each solve re-runs the inversion recursion twice
+            subs = factor_checkpointed(self.op, stride=stride)
+            self._solve_fn = lambda r: solve_checkpointed(subs, r)
+        else:
+            factors = factor(self.op)
+            self._solve_fn = lambda r: solve_factored(factors, r)
         self.op64 = make_operator_f64(np.asarray(eps), np.asarray(mu), dx, dy,
                                       self.omega, pml_thickness, sigma_max, m)
 
@@ -243,7 +405,7 @@ class DirectSolver:
 
         scale = (-1j * self.omega) if rhs_scale is None else complex(rhs_scale)
         b64 = split_from_numpy(np.asarray(source, np.complex128) * scale)
-        out = refine(self.op64, b64, lambda r: solve_factored(self.factors, r),
+        out = refine(self.op64, b64, self._solve_fn,
                      target=refine_target, max_rounds=max_refine_rounds,
                      inner_dtype=self.dtype)
         if verbose:

@@ -162,3 +162,40 @@ def test_direct_sharded_sublattices_match_single_device():
     res = np.linalg.norm(np.asarray(op.apply(got) - b)) / \
         np.linalg.norm(np.asarray(b))
     assert res < 1e-10
+
+
+def test_checkpointed_matches_full_factor():
+    """Segment-checkpointed factor/solve (the past-the-memory-wall path)
+    reproduces the store-all-W solve exactly."""
+    from fdtd2d_tpu.fdfd.direct import factor_checkpointed, solve_checkpointed
+
+    N, dx, omega = 64, 1e-3, 17e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=12,
+                       dtype=jnp.complex128)
+    b = jnp.asarray(-1j * omega * src)
+
+    want = solve_direct(op, b)
+    subs = factor_checkpointed(op, stride=8)
+    got = solve_checkpointed(subs, b)
+    err = np.max(np.abs(np.asarray(got - want)))
+    scale = np.max(np.abs(np.asarray(want)))
+    assert err / scale < 1e-12, f"checkpointed mismatch: {err/scale:.2e}"
+    res = np.linalg.norm(np.asarray(op.apply(got) - b)) / \
+        np.linalg.norm(np.asarray(b))
+    assert res < 1e-10
+
+
+def test_checkpointed_memory_shape():
+    """The checkpointed factors store nseg+1 inverses per sublattice, not
+    nr (the whole point)."""
+    from fdtd2d_tpu.fdfd.direct import factor_checkpointed
+
+    N, dx, omega = 64, 1e-3, 17e9
+    eps, mu, _ = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=12,
+                       dtype=jnp.complex128)
+    subs = factor_checkpointed(op, stride=8)
+    for fs in subs:
+        assert fs.Wc.shape == (32 // 8, 32, 32)
+        assert fs.Wlast.shape == (32, 32)
