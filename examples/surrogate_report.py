@@ -43,19 +43,24 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
     print(f"restored epoch {epoch - 1}")
     schedule = DDPMSchedule.create(cfg.num_train_timesteps)
 
-    preds = []
-    key = jax.random.PRNGKey(123)
-    for c0 in range(0, holdout, 8):
-        sl = slice(c0, min(c0 + 8, holdout))
-        key, k = jax.random.split(key)
-        preds.append(np.asarray(inference(
-            state, schedule, k,
-            jnp.asarray(hold["eps"][sl]), jnp.asarray(hold["mu"][sl]),
-            jnp.asarray(hold["src"][sl]),
-            jnp.asarray(hold["omega"][sl]).reshape(-1),
-            scales=scales)))
-        print(f"inferred {sl.stop}/{holdout}", flush=True)
-    pred = np.concatenate(preds)
+    def infer_all(stochastic):
+        preds = []
+        key = jax.random.PRNGKey(123)
+        for c0 in range(0, holdout, 8):
+            sl = slice(c0, min(c0 + 8, holdout))
+            key, k = jax.random.split(key)
+            preds.append(np.asarray(inference(
+                state, schedule, k,
+                jnp.asarray(hold["eps"][sl]), jnp.asarray(hold["mu"][sl]),
+                jnp.asarray(hold["src"][sl]),
+                jnp.asarray(hold["omega"][sl]).reshape(-1),
+                scales=scales, stochastic=stochastic)))
+            print(f"inferred {sl.stop}/{holdout} (stochastic={stochastic})",
+                  flush=True)
+        return np.concatenate(preds)
+
+    pred = infer_all(True)
+    pred_det = infer_all(False)
     true = hold["Ez"]
 
     P = pred.reshape(holdout, -1).astype(np.float64)
@@ -75,19 +80,34 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
         return (f"mean {np.mean(v):.4f} median {np.median(v):.4f} "
                 f"best {np.min(v):.4f} worst {np.max(v):.4f}")
 
+    Pd = pred_det.reshape(holdout, -1).astype(np.float64)
+    rel_d = np.linalg.norm(Pd - T, axis=1) / tn
+    Pdc = Pd - Pd.mean(axis=1, keepdims=True)
+    corr_d = (Pdc * Tc).sum(1) / (np.linalg.norm(Pdc, axis=1)
+                                  * np.linalg.norm(Tc, axis=1) + 1e-30)
+    a_d = (Pd * T).sum(1) / ((Pd * Pd).sum(1) + 1e-30)
+    rel_fit_d = np.linalg.norm(a_d[:, None] * Pd - T, axis=1) / tn
+
     print(f"holdout ({holdout} scenes, epoch {epoch - 1}):")
     print(f"  relative L2        : {stats(rel)}")
     print(f"  best-fit rel L2    : {stats(rel_fit)}")
     print(f"  Pearson corr       : mean {np.mean(corr):.4f} "
           f"median {np.median(corr):.4f} best {np.max(corr):.4f} "
           f"worst {np.min(corr):.4f}")
+    print("  deterministic (DDIM-like) chain:")
+    print(f"  relative L2        : {stats(rel_d)}")
+    print(f"  best-fit rel L2    : {stats(rel_fit_d)}")
+    print(f"  Pearson corr       : mean {np.mean(corr_d):.4f} "
+          f"median {np.median(corr_d):.4f} best {np.max(corr_d):.4f} "
+          f"worst {np.min(corr_d):.4f}")
     np.savez(os.path.join(out_dir, "holdout_report.npz"),
-             rel=rel, rel_fit=rel_fit, corr=corr)
+             rel=rel, rel_fit=rel_fit, corr=corr, rel_d=rel_d,
+             rel_fit_d=rel_fit_d, corr_d=corr_d)
 
-    order = np.argsort(rel_fit)
+    order = np.argsort(rel_fit_d)
     for tag, idx in (("best", order[0]), ("median", order[holdout // 2]),
                      ("worst", order[-1])):
-        plot_ref_v_inference(true[idx], pred[idx],
+        plot_ref_v_inference(true[idx], pred_det[idx],
                              os.path.join(out_dir, f"holdout_{tag}.png"))
     print(f"wrote holdout_[best|median|worst].png to {out_dir}")
 
@@ -99,8 +119,12 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
             f = line.strip().split(",")
             ep.append(int(f[0])); mean_rel.append(float(f[1]))
     losses = []
-    log = os.path.join(os.path.dirname(eval_dir), "train100.log")
-    if os.path.exists(log):
+    runs_dir = os.path.dirname(eval_dir)
+    cands = [os.path.join(runs_dir, n) for n in
+             ("train100_shape.log" if eval_dir.endswith("_shape")
+              else "train100.log",)]
+    log = next((c for c in cands if os.path.exists(c)), "")
+    if log:
         import re
 
         for line in open(log):

@@ -138,11 +138,15 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
 
 
 def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
-              omega, num_inference_steps: int = 50, scales: Optional[dict] = None):
+              omega, num_inference_steps: int = 50, scales: Optional[dict] = None,
+              stochastic: bool = True):
     """Denoise from pure noise (reference inference(), :283-323).
 
     With ``scales`` (from :func:`train`), physical inputs are normalized and
-    the returned field is denormalized back to physical units."""
+    the returned field is denormalized back to physical units.
+    ``stochastic=False`` runs the deterministic (DDIM-like) chain — for a
+    near-deterministic conditional task it reads out closer to the
+    posterior mean than a stochastic sample."""
 
     if scales is not None:
         eps = eps / scales["eps"]
@@ -156,7 +160,8 @@ def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
         )
 
     out = sample(schedule, apply_fn, key, eps, mu, src, omega,
-                 num_inference_steps=num_inference_steps)
+                 num_inference_steps=num_inference_steps,
+                 stochastic=stochastic)
     if scales is not None:
         out = out * scales["Ez"]
     return out
