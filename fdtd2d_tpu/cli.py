@@ -167,7 +167,12 @@ def cmd_train(args):
     else:
         data = {k: jnp.asarray(raw[k]) for k in keys}
     cfg = TrainConfig(lr=args.lr, batch_size=args.batch, num_epochs=args.epochs,
-                      ckpt_dir=args.ckpt_dir)
+                      ckpt_dir=args.ckpt_dir,
+                      prediction_type=args.prediction_type,
+                      t_sampling=args.t_sampling,
+                      loss_weighting=args.weighting)
+    print(f"recipe: prediction_type={cfg.prediction_type} "
+          f"t_sampling={cfg.t_sampling} weighting={cfg.loss_weighting}")
 
     eval_callback = holdout_callback = None
     if args.eval_every:
@@ -245,7 +250,9 @@ def cmd_infer(args):
     schedule = DDPMSchedule.create(cfg.num_train_timesteps)
     pred = inference(state, schedule, jax.random.PRNGKey(args.seed),
                      eps, mu, src, omega, scales=scales,
-                     num_inference_steps=args.steps)
+                     num_inference_steps=args.steps,
+                     prediction_type=args.prediction_type,
+                     t_start=args.t_start)
     pred = np.asarray(pred[0])
     print(f"restored epoch {epoch - 1}; predicted field std {pred.std():.3e}")
     if "Ez" in raw.files:
@@ -355,6 +362,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the whole dataset on device, inputs in f16 "
                         "(exact for binary/mask channels) — epochs run at "
                         "compute speed with no per-epoch host streaming")
+    f.add_argument("--prediction-type", choices=("epsilon", "x0"),
+                   default="epsilon",
+                   help="model target: the added noise (reference recipe) or "
+                        "the clean field; 'x0' is the recipe that generates "
+                        "scene-locked fields (see diffusion.loss_weight)")
+    f.add_argument("--t-sampling", choices=("snr", "uniform"), default="snr",
+                   help="timestep sampling: SNR^1.3 importance (reference) "
+                        "or uniform over all noise levels")
+    f.add_argument("--weighting", choices=("snr_gamma", "min_snr", "uniform"),
+                   default="snr_gamma", help="per-timestep loss weight")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")
@@ -365,6 +382,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--steps", type=int, default=50)
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--out", type=str, default="inference.png")
+    f.add_argument("--prediction-type", choices=("epsilon", "x0"),
+                   default="epsilon",
+                   help="must match the recipe the checkpoint was trained "
+                        "with (recorded in the training log)")
+    f.add_argument("--t-start", type=int, default=None,
+                   help="truncate the chain to timesteps <= t_start")
     f.set_defaults(fn=cmd_infer)
 
     f = sub.add_parser("bench", help="headline benchmark (one JSON line)")

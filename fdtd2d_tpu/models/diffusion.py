@@ -58,7 +58,8 @@ class DDPMSchedule:
         return (jnp.sqrt(abar).reshape(shape) * x0
                 + jnp.sqrt(1.0 - abar).reshape(shape) * noise)
 
-    def step(self, noise_pred, t, t_prev, sample, key=None, clip_sample=20.0):
+    def step(self, noise_pred, t, t_prev, sample, key=None, clip_sample=20.0,
+             prediction_type: str = "epsilon"):
         """One ancestral denoising step from t to t_prev (DDPM).
 
         ``clip_sample``: bound on the reconstructed x0 in NORMALIZED units
@@ -67,13 +68,22 @@ class DDPMSchedule:
         inherited diffusers' [-1, 1] clip, which assumes image-normalized
         data — here fields are trained at unit std, so a looser bound keeps
         rare large amplitudes while preventing divergence.
+
+        ``prediction_type``: how the model output parameterizes the step —
+        "epsilon" (the reference's choice: the model predicts the added
+        noise) or "x0" (the model predicts the clean field directly).
+        x0-prediction keeps the chain well-posed at high t, where the
+        1/sqrt(abar) reconstruction amplifies epsilon errors unboundedly.
         """
         abar_t = self.alphas_cumprod[t]
         abar_prev = jnp.where(t_prev >= 0, self.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
         alpha_t = abar_t / abar_prev
         beta_t = 1.0 - alpha_t
 
-        x0 = (sample - jnp.sqrt(1.0 - abar_t) * noise_pred) / jnp.sqrt(abar_t)
+        if prediction_type == "x0":
+            x0 = noise_pred
+        else:
+            x0 = (sample - jnp.sqrt(1.0 - abar_t) * noise_pred) / jnp.sqrt(abar_t)
         if clip_sample is not None:
             x0 = jnp.clip(x0, -clip_sample, clip_sample)
 
@@ -101,6 +111,38 @@ def snr_gamma_weight(schedule: DDPMSchedule, t, gamma: float = 5.0):
     return snr**gamma / (snr**gamma + 1.0)
 
 
+def loss_weight(schedule: DDPMSchedule, t, weighting: str,
+                prediction_type: str, gamma: float = 5.0):
+    """Per-timestep loss weight applied to the MSE of the model's OWN target
+    (noise for "epsilon", the clean field for "x0").
+
+    - "snr_gamma": the reference's w = SNR^g/(SNR^g+1) on the epsilon-MSE
+      (utils.py:44-59). Measured on this task it concentrates ~all gradient
+      at t < 200 (w(700) = 1e-3, w(900) = 8e-9): combined with SNR^1.3
+      timestep sampling the model is untrained for t > ~500, and full-chain
+      generation from t ~ T produces fields uncorrelated with the scene
+      (holdout Pearson ~ 0 after 100 epochs) even though the model denoises
+      well at the timesteps it did see. Kept for reference parity.
+    - "min_snr": min-SNR-gamma (Hang et al. 2023) — min(SNR,g)/SNR on the
+      epsilon-MSE, min(SNR,g) on the x0-MSE; trains all noise levels.
+    - "uniform": constant 1. With prediction_type="x0" this weights the
+      clean-field error equally at every t — the regression-consistent
+      choice for a deterministic conditional task, and the recipe that makes
+      the surrogate actually generate scene-locked fields.
+    """
+    abar = schedule.alphas_cumprod[t]
+    snr = abar / (1.0 - abar)
+    if weighting == "snr_gamma":
+        w = snr**gamma / (snr**gamma + 1.0)
+        return w if prediction_type == "epsilon" else w * snr
+    if weighting == "min_snr":
+        w = jnp.minimum(snr, gamma)
+        return w / snr if prediction_type == "epsilon" else w
+    if weighting == "uniform":
+        return jnp.ones_like(snr)
+    raise ValueError(f"unknown weighting {weighting!r}")
+
+
 def importance_sample_timesteps(schedule: DDPMSchedule, key, batch_size: int,
                                 gamma: float = 1.3):
     """Draw t ~ SNR(t)^gamma via inverse-CDF sampling
@@ -115,10 +157,26 @@ def importance_sample_timesteps(schedule: DDPMSchedule, key, batch_size: int,
 
 def sample(schedule: DDPMSchedule, apply_fn, key, eps, mu, src, omega,
            num_inference_steps: int = 50, stochastic: bool = True,
-           clip_sample=20.0):
+           clip_sample=20.0, prediction_type: str = "epsilon",
+           t_start: int | None = None):
     """Full DDPM inference loop under ``lax.scan``
-    (reference inference(), diffusion_training.py:283-323)."""
-    ts = schedule.inference_timesteps(num_inference_steps)
+    (reference inference(), diffusion_training.py:283-323).
+
+    ``t_start``: truncate the chain to timesteps <= t_start (still starting
+    from pure N(0,1) noise). Principled for unit-std training data: the
+    forward marginal q(x_t) = sqrt(ab) x0 + sqrt(1-ab) eps has unit variance
+    at EVERY t for zero-mean unit-std x0, so an N(0,1) init matches the
+    marginal at any t — the truncation only skips the (possibly untrained)
+    high-noise steps. ``prediction_type``: see :meth:`DDPMSchedule.step`.
+    """
+    import numpy as np
+
+    ts_np = np.asarray(schedule.inference_timesteps(num_inference_steps))
+    if t_start is not None:
+        ts_np = ts_np[ts_np <= t_start]
+        if ts_np.size == 0:
+            raise ValueError(f"t_start={t_start} leaves no inference steps")
+    ts = jnp.asarray(ts_np)
     ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1])])
     key, k0 = jax.random.split(key)
     x = jax.random.normal(k0, eps.shape, eps.dtype)
@@ -131,7 +189,8 @@ def sample(schedule: DDPMSchedule, apply_fn, key, eps, mu, src, omega,
         noise_pred = apply_fn(eps, mu, src, x, tb, omega)
         x = schedule.step(noise_pred, t, t_prev, x,
                           key=k if stochastic else None,
-                          clip_sample=clip_sample)
+                          clip_sample=clip_sample,
+                          prediction_type=prediction_type)
         return (x, key), None
 
     (x, _), _ = jax.lax.scan(body, (x, key), (ts, ts_prev))

@@ -23,7 +23,8 @@ from flax.training import train_state
 
 from fdtd2d_tpu.models.unet import UNet2D
 from fdtd2d_tpu.models.diffusion import (
-    DDPMSchedule, snr_gamma_weight, importance_sample_timesteps, sample,
+    DDPMSchedule, snr_gamma_weight, importance_sample_timesteps, loss_weight,
+    sample,
 )
 
 
@@ -62,6 +63,13 @@ class TrainConfig:
     num_train_timesteps: int = 1000
     ckpt_every: int = 10
     ckpt_dir: Optional[str] = None
+    # The reference's recipe is (epsilon, snr, snr_gamma) — kept as an
+    # option, but it leaves t > ~500 untrained (see diffusion.loss_weight)
+    # and cannot generate scene-locked fields from a full chain. The recipe
+    # that works end-to-end is ("x0", "uniform", "uniform").
+    prediction_type: str = "epsilon"   # "epsilon" | "x0"
+    t_sampling: str = "snr"            # "snr" (SNR^1.3 importance) | "uniform"
+    loss_weighting: str = "snr_gamma"  # "snr_gamma" | "min_snr" | "uniform"
 
 
 def create_state(key, shape: Tuple[int, int], config: TrainConfig,
@@ -79,15 +87,24 @@ def create_state(key, shape: Tuple[int, int], config: TrainConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("snr_gamma", "t_gamma"))
+@partial(jax.jit, static_argnames=("snr_gamma", "t_gamma", "prediction_type",
+                                   "t_sampling", "weighting"))
 def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
-               snr_gamma: float = 5.0, t_gamma: float = 1.3):
-    """One SNR-weighted noise-prediction step (reference :345-373)."""
+               snr_gamma: float = 5.0, t_gamma: float = 1.3,
+               prediction_type: str = "epsilon", t_sampling: str = "snr",
+               weighting: str = "snr_gamma"):
+    """One weighted denoising step (reference :345-373 for the default
+    epsilon/snr/snr_gamma recipe; see diffusion.loss_weight for why the
+    x0/uniform/uniform recipe is the one that generates)."""
     k_t, k_noise = jax.random.split(key)
     B = batch["Ez"].shape[0]
-    t = importance_sample_timesteps(schedule, k_t, B, gamma=t_gamma)
+    if t_sampling == "uniform":
+        t = jax.random.randint(k_t, (B,), 0, schedule.num_timesteps)
+    else:
+        t = importance_sample_timesteps(schedule, k_t, B, gamma=t_gamma)
     noise = jax.random.normal(k_noise, batch["Ez"].shape, batch["Ez"].dtype)
     noisy = schedule.add_noise(batch["Ez"], noise, t)
+    target = batch["Ez"] if prediction_type == "x0" else noise
 
     def loss_fn(params):
         pred, updates = state.apply_fn(
@@ -95,8 +112,9 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
             batch["eps"], batch["mu"], batch["src"], noisy,
             t, batch["omega"], train=True, mutable=["batch_stats"],
         )
-        w = snr_gamma_weight(schedule, t, gamma=snr_gamma)
-        per_sample = jnp.mean((pred - noise) ** 2, axis=(1, 2))
+        w = loss_weight(schedule, t, weighting, prediction_type,
+                        gamma=snr_gamma)
+        per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2))
         return jnp.mean(w * per_sample), updates["batch_stats"]
 
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -105,10 +123,13 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
     return state, loss
 
 
-@partial(jax.jit, static_argnames=("batch_size", "snr_gamma", "t_gamma"))
+@partial(jax.jit, static_argnames=("batch_size", "snr_gamma", "t_gamma",
+                                   "prediction_type", "t_sampling",
+                                   "weighting"))
 def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
                 perm, *, batch_size: int, snr_gamma: float = 5.0,
-                t_gamma: float = 1.3):
+                t_gamma: float = 1.3, prediction_type: str = "epsilon",
+                t_sampling: str = "snr", weighting: str = "snr_gamma"):
     """One full epoch as a single device program (lax.scan over batches) —
     per-batch host dispatch dominates wall-clock on a tunneled TPU.
 
@@ -130,7 +151,9 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
         # datasets near HBM capacity); the model runs f32
         batch = {name: v[idx].astype(jnp.float32) for name, v in data.items()}
         state, loss = train_step(state, schedule, k_step, batch,
-                                 snr_gamma=snr_gamma, t_gamma=t_gamma)
+                                 snr_gamma=snr_gamma, t_gamma=t_gamma,
+                                 prediction_type=prediction_type,
+                                 t_sampling=t_sampling, weighting=weighting)
         return (state, key), loss
 
     (state, _), losses = jax.lax.scan(body, (state, key), jnp.arange(nb))
@@ -139,7 +162,8 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
 
 def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
               omega, num_inference_steps: int = 50, scales: Optional[dict] = None,
-              stochastic: bool = True):
+              stochastic: bool = True, prediction_type: str = "epsilon",
+              t_start: Optional[int] = None):
     """Denoise from pure noise (reference inference(), :283-323).
 
     With ``scales`` (from :func:`train`), physical inputs are normalized and
@@ -161,7 +185,8 @@ def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
 
     out = sample(schedule, apply_fn, key, eps, mu, src, omega,
                  num_inference_steps=num_inference_steps,
-                 stochastic=stochastic)
+                 stochastic=stochastic, prediction_type=prediction_type,
+                 t_start=t_start)
     if scales is not None:
         out = out * scales["Ez"]
     return out
@@ -263,7 +288,8 @@ def compute_scales_host(data: dict) -> dict:
 def holdout_relative_l2(state: TrainState, schedule: DDPMSchedule, key,
                         holdout: dict, scales: dict,
                         num_inference_steps: int = 50,
-                        chunk: int = 8) -> np.ndarray:
+                        chunk: int = 8,
+                        prediction_type: str = "epsilon") -> np.ndarray:
     """Per-sample relative L2 of DDPM-predicted vs true Ez on a holdout
     batch (physical units) — the quantitative surrogate metric the
     reference never reports (it eyeballs per-epoch panels,
@@ -282,7 +308,8 @@ def holdout_relative_l2(state: TrainState, schedule: DDPMSchedule, key,
             jnp.asarray(np.asarray(holdout["src"][sl]), jnp.float32),
             jnp.asarray(np.asarray(holdout["omega"][sl]),
                         jnp.float32).reshape(-1),
-            num_inference_steps=num_inference_steps, scales=scales)))
+            num_inference_steps=num_inference_steps, scales=scales,
+            prediction_type=prediction_type)))
     pred = np.concatenate(preds)
     true = np.asarray(holdout["Ez"])
     num = np.linalg.norm((pred - true).reshape(len(true), -1), axis=1)
@@ -410,7 +437,10 @@ def train(key, data: dict, config: TrainConfig,
                     state, schedule, k_chunk, dev, jnp.arange(stream_chunk),
                     batch_size=config.batch_size,
                     snr_gamma=config.snr_weight_gamma,
-                    t_gamma=config.timestep_gamma)
+                    t_gamma=config.timestep_gamma,
+                    prediction_type=config.prediction_type,
+                    t_sampling=config.t_sampling,
+                    weighting=config.loss_weighting)
                 chunk_losses.append(float(loss))
             mean_loss = float(np.mean(chunk_losses))
         else:
@@ -418,7 +448,10 @@ def train(key, data: dict, config: TrainConfig,
             state, mean_loss = train_epoch(state, schedule, k_epoch, arrays, perm,
                                            batch_size=config.batch_size,
                                            snr_gamma=config.snr_weight_gamma,
-                                           t_gamma=config.timestep_gamma)
+                                           t_gamma=config.timestep_gamma,
+                                           prediction_type=config.prediction_type,
+                                           t_sampling=config.t_sampling,
+                                           weighting=config.loss_weighting)
         losses.append(float(mean_loss))
         if callback:
             callback(epoch, losses[-1], state)
@@ -430,13 +463,14 @@ def train(key, data: dict, config: TrainConfig,
                 jnp.asarray(eval_sample["mu"])[None],
                 jnp.asarray(eval_sample["src"])[None],
                 jnp.asarray(eval_sample["omega"]).reshape(1),
-                scales=scales)
+                scales=scales, prediction_type=config.prediction_type)
             eval_callback(epoch, np.asarray(pred[0]), eval_sample["Ez"])
         if (holdout_set is not None and eval_every > 0
                 and (epoch + 1) % eval_every == 0):
             key, k_h = jax.random.split(key)
             rel = holdout_relative_l2(state, schedule, k_h, holdout_set,
-                                      scales)
+                                      scales,
+                                      prediction_type=config.prediction_type)
             if holdout_callback is not None:
                 holdout_callback(epoch, rel)
             else:

@@ -226,3 +226,76 @@ def test_train_device_cache_f16():
         state=create_state(jax.random.PRNGKey(2), (32, 32), cfg,
                            model=_tiny_model()))
     assert len(losses) == 2 and all(np.isfinite(losses))
+
+
+def test_loss_weight_modes():
+    """loss_weight: reference parity for snr_gamma/epsilon; min-SNR and
+    uniform cover all timesteps (the property the reference recipe lacks —
+    its effective gradient mass at t>500 is ~1e-5, which is why a model
+    trained with it cannot generate from a full chain)."""
+    from fdtd2d_tpu.models.diffusion import loss_weight
+
+    s = DDPMSchedule.create(1000)
+    t = jnp.asarray([5, 500, 900])
+    np.testing.assert_allclose(
+        np.asarray(loss_weight(s, t, "snr_gamma", "epsilon")),
+        np.asarray(snr_gamma_weight(s, t)), rtol=1e-6)
+    w_min = np.asarray(loss_weight(s, t, "min_snr", "epsilon", gamma=5.0))
+    snr = np.asarray(s.alphas_cumprod[t] / (1 - s.alphas_cumprod[t]))
+    np.testing.assert_allclose(w_min, np.minimum(snr, 5.0) / snr, rtol=1e-5)
+    assert w_min[2] == 1.0  # high-noise steps get full weight
+    w_u = np.asarray(loss_weight(s, t, "uniform", "x0"))
+    np.testing.assert_allclose(w_u, 1.0)
+    # x0-mode min-SNR is the epsilon-mode weight times SNR
+    w_min_x0 = np.asarray(loss_weight(s, t, "min_snr", "x0", gamma=5.0))
+    np.testing.assert_allclose(w_min_x0, np.minimum(snr, 5.0), rtol=1e-5)
+    with pytest.raises(ValueError):
+        loss_weight(s, t, "nope", "x0")
+
+
+def test_train_step_x0_uniform_recipe():
+    """The generating recipe (x0 prediction, uniform t, uniform weight):
+    finite decreasing-ish loss and inference consumes the x0 output."""
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4, prediction_type="x0",
+                      t_sampling="uniform", loss_weighting="uniform")
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(1000)
+    batch = {k: v[:4] for k, v in data.items()}
+    losses = []
+    for i in range(4):
+        state, loss = train_step(state, schedule, jax.random.PRNGKey(i), batch,
+                                 prediction_type="x0", t_sampling="uniform",
+                                 weighting="uniform")
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+
+    out = inference(state, schedule, KEY,
+                    *[batch[k] for k in ("eps", "mu", "src")],
+                    batch["omega"], num_inference_steps=5,
+                    prediction_type="x0")
+    assert out.shape == (4, 32, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_sample_t_start_truncation():
+    """t_start truncates the ladder; a perfect x0 oracle then recovers the
+    field from any start point (unit-variance marginal at every t)."""
+    from fdtd2d_tpu.models.diffusion import sample
+
+    schedule = DDPMSchedule.create(1000)
+    x_true = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16))
+    x_true = x_true / jnp.std(x_true, axis=(1, 2), keepdims=True)
+
+    def oracle(eps, mu, src, x, t, om):
+        return x_true  # perfect x0 predictor
+
+    z = jnp.zeros((2, 16, 16))
+    out = sample(schedule, oracle, KEY, z, z, z, jnp.zeros((2,)),
+                 num_inference_steps=10, stochastic=False,
+                 prediction_type="x0", t_start=400)
+    err = float(jnp.linalg.norm(out - x_true) / jnp.linalg.norm(x_true))
+    assert err < 0.05, err
+    with pytest.raises(ValueError):
+        sample(schedule, oracle, KEY, z, z, z, jnp.zeros((2,)),
+               num_inference_steps=10, t_start=-1)
