@@ -1,0 +1,64 @@
+"""Past-the-memory-wall exact solve on one chip: segment-checkpointed
+sublattice block-Thomas factorization at 2048^2 (or given N) on the HARD
+50%-duty binary 5x-contrast scene — the regime where the reference's
+spsolve LU dies of fill-in (README.md:135 reports ~20 s already at 1000^2)
+and the two-level ORAS tiled solver stalls at ~0.3 relative residual.
+
+Store-all-W factors need 4*(N/2)^3*8 B (34 GB at 2048^2 — impossible on one
+chip); the checkpointed mode stores W every `stride` rows (~1 GB total at
+2048^2) and re-runs the inversion recursion twice per solve, trading
+compute for the W-storage wall.
+
+Usage: python examples/direct_large.py [N] [stride]
+"""
+import sys
+import time
+
+import numpy as np
+
+from fdtd2d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from fdtd2d_tpu import constants  # noqa: E402
+from fdtd2d_tpu.fdfd.direct import DirectSolver  # noqa: E402
+
+
+def hard_scene(N, seed=7):
+    from scipy.ndimage import gaussian_filter
+
+    rng = np.random.default_rng(seed)
+    blur = gaussian_filter(rng.random((N, N)), sigma=N / 64)
+    eps = np.where(blur > np.median(blur), 5.0, 1.0) * constants.EPSILON_0
+    mu = np.full((N, N), constants.MU_0)
+    src = np.zeros((N, N))
+    src[N // 3, N // 3] = 1.0
+    return eps, mu, src
+
+
+def main(N=2048, stride=64):
+    omega, dx = 17e9, 1e-3
+    eps, mu, src = hard_scene(N)
+    print(f"N={N} stride={stride}: checkpoint memory "
+          f"~{4 * (N // 2 // stride + 1) * (N // 2) ** 2 * 8 / 1e9:.2f} GB "
+          f"(store-all would be {4 * (N // 2) ** 3 * 8 / 1e9:.1f} GB)")
+
+    t0 = time.perf_counter()
+    solver = DirectSolver(eps, mu, dx, dx, omega, checkpointed=True,
+                          stride=stride)
+    t_build = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    x, trace = solver.solve(src, refine_target=1e-8, verbose=True)
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    x, trace = solver.solve(src, refine_target=1e-8, verbose=True)
+    t_warm = time.perf_counter() - t0
+    print(f"build(+factor dispatch) {t_build:.1f} s; first solve "
+          f"{t_first:.1f} s; warm solve {t_warm:.1f} s; final TRUE residual "
+          f"{trace[-1]:.3e}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 2048,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 64)

@@ -13,7 +13,10 @@ inference over the held-out scenes, and reports:
 writes the best/median/worst predicted-vs-true panels and the training
 curves (loss + holdout rel-L2) to assets.
 
-Run: python examples/surrogate_report.py DATA.npz CKPT_DIR EVAL_DIR OUT_DIR [HOLDOUT]
+Run: python examples/surrogate_report.py DATA.npz CKPT_DIR EVAL_DIR OUT_DIR \
+        [HOLDOUT] [PRED_TYPE]
+PRED_TYPE ("epsilon"|"x0") must match the recipe the checkpoint was trained
+with.
 """
 
 import os
@@ -29,7 +32,8 @@ from fdtd2d_tpu.models.train import (TrainConfig, create_state, inference,
 from fdtd2d_tpu.viz.plots import plot_ref_v_inference, plot_training_curves
 
 
-def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
+def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
+         pred_type="epsilon"):
     os.makedirs(out_dir, exist_ok=True)
     raw = np.load(data_path)
     hold = {k: np.asarray(raw[k][-holdout:]) for k in
@@ -54,7 +58,8 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
                 jnp.asarray(hold["eps"][sl]), jnp.asarray(hold["mu"][sl]),
                 jnp.asarray(hold["src"][sl]),
                 jnp.asarray(hold["omega"][sl]).reshape(-1),
-                scales=scales, stochastic=stochastic)))
+                scales=scales, stochastic=stochastic,
+                prediction_type=pred_type)))
             print(f"inferred {sl.stop}/{holdout} (stochastic={stochastic})",
                   flush=True)
         return np.concatenate(preds)
@@ -120,10 +125,12 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64):
             ep.append(int(f[0])); mean_rel.append(float(f[1]))
     losses = []
     runs_dir = os.path.dirname(eval_dir)
-    cands = [os.path.join(runs_dir, n) for n in
-             ("train100_shape.log" if eval_dir.endswith("_shape")
-              else "train100.log",)]
-    log = next((c for c in cands if os.path.exists(c)), "")
+    suffix = ""
+    for tag in ("_shape", "_x0"):
+        if eval_dir.rstrip("/").endswith(tag):
+            suffix = tag
+    log = os.path.join(runs_dir, f"train100{suffix}.log")
+    log = log if os.path.exists(log) else ""
     if log:
         import re
 
@@ -146,4 +153,5 @@ if __name__ == "__main__":
          a[1] if len(a) > 1 else "runs/ckpt10k",
          a[2] if len(a) > 2 else "runs/eval10k",
          a[3] if len(a) > 3 else "assets/surrogate",
-         int(a[4]) if len(a) > 4 else 64)
+         int(a[4]) if len(a) > 4 else 64,
+         a[5] if len(a) > 5 else "epsilon")
