@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from fdtd2d_tpu.models.diffusion import DDPMSchedule
 from fdtd2d_tpu.models.train import (TrainConfig, create_state, inference,
-                                     restore_checkpoint)
+                                     regress, restore_checkpoint)
 from fdtd2d_tpu.viz.plots import plot_ref_v_inference, plot_training_curves
 
 
@@ -68,6 +68,22 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     pred_det = infer_all(False)
     true = hold["Ez"]
 
+    pred_reg = None
+    if pred_type == "x0":
+        # one-call regression readout (train.regress): the network's direct
+        # E[x0|scene] at t=T-1, no chain
+        chunks = []
+        key = jax.random.PRNGKey(7)
+        for c0 in range(0, holdout, 8):
+            sl = slice(c0, min(c0 + 8, holdout))
+            key, k = jax.random.split(key)
+            chunks.append(np.asarray(regress(
+                state, schedule, k,
+                jnp.asarray(hold["eps"][sl]), jnp.asarray(hold["mu"][sl]),
+                jnp.asarray(hold["src"][sl]),
+                jnp.asarray(hold["omega"][sl]).reshape(-1), scales=scales)))
+        pred_reg = np.concatenate(chunks)
+
     P = pred.reshape(holdout, -1).astype(np.float64)
     T = true.reshape(holdout, -1).astype(np.float64)
     tn = np.linalg.norm(T, axis=1) + 1e-30
@@ -105,9 +121,26 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     print(f"  Pearson corr       : mean {np.mean(corr_d):.4f} "
           f"median {np.median(corr_d):.4f} best {np.max(corr_d):.4f} "
           f"worst {np.min(corr_d):.4f}")
+    extra = {}
+    if pred_reg is not None:
+        Pr = pred_reg.reshape(holdout, -1).astype(np.float64)
+        rel_r = np.linalg.norm(Pr - T, axis=1) / tn
+        Prc = Pr - Pr.mean(axis=1, keepdims=True)
+        corr_r = (Prc * Tc).sum(1) / (np.linalg.norm(Prc, axis=1)
+                                      * np.linalg.norm(Tc, axis=1) + 1e-30)
+        a_r = (Pr * T).sum(1) / ((Pr * Pr).sum(1) + 1e-30)
+        rel_fit_r = np.linalg.norm(a_r[:, None] * Pr - T, axis=1) / tn
+        print("  one-call regression readout (no chain):")
+        print(f"  relative L2        : {stats(rel_r)}")
+        print(f"  best-fit rel L2    : {stats(rel_fit_r)}")
+        print(f"  Pearson corr       : mean {np.mean(corr_r):.4f} "
+              f"median {np.median(corr_r):.4f} best {np.max(corr_r):.4f} "
+              f"worst {np.min(corr_r):.4f}")
+        extra = dict(rel_r=rel_r, rel_fit_r=rel_fit_r, corr_r=corr_r)
+
     np.savez(os.path.join(out_dir, "holdout_report.npz"),
              rel=rel, rel_fit=rel_fit, corr=corr, rel_d=rel_d,
-             rel_fit_d=rel_fit_d, corr_d=corr_d)
+             rel_fit_d=rel_fit_d, corr_d=corr_d, **extra)
 
     order = np.argsort(rel_fit_d)
     for tag, idx in (("best", order[0]), ("median", order[holdout // 2]),

@@ -4,6 +4,8 @@ from fdtd2d_tpu.models.diffusion import (
     cosine_beta_schedule,
     snr_gamma_weight,
     importance_sample_timesteps,
+    loss_weight,
+    sample,
 )
 
 __all__ = [
@@ -12,4 +14,6 @@ __all__ = [
     "cosine_beta_schedule",
     "snr_gamma_weight",
     "importance_sample_timesteps",
+    "loss_weight",
+    "sample",
 ]

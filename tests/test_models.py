@@ -299,3 +299,27 @@ def test_sample_t_start_truncation():
     with pytest.raises(ValueError):
         sample(schedule, oracle, KEY, z, z, z, jnp.zeros((2,)),
                num_inference_steps=10, t_start=-1)
+
+
+def test_regress_readout():
+    """regress(): one-call x0 readout — right shape, finite, and honors the
+    normalization scales roundtrip."""
+    from fdtd2d_tpu.models.train import regress
+
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4)
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(1000)
+    batch = {k: v[:4] for k, v in data.items()}
+    scales = {"eps": jnp.asarray(2.0), "mu": jnp.asarray(1.0),
+              "Ez": jnp.asarray(3.0), "omega": jnp.asarray(1.0)}
+    out = regress(state, schedule, KEY,
+                  *[batch[k] for k in ("eps", "mu", "src")], batch["omega"],
+                  scales=scales)
+    assert out.shape == (4, 32, 32)
+    assert np.all(np.isfinite(np.asarray(out)))
+    out_unscaled = regress(
+        state, schedule, KEY,
+        batch["eps"] / 2.0, batch["mu"], batch["src"], batch["omega"])
+    np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(out_unscaled),
+                               rtol=1e-5)
