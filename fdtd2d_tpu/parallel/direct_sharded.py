@@ -28,8 +28,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator
 from fdtd2d_tpu.fdfd.direct import (
-    SublatticeFactors, _factor_sub, _solve_sub, five_point_coefficients,
-    _PARITIES,
+    CkptSublatticeFactors, SublatticeFactors, _factor_sub, _factor_sub_ckpt,
+    _solve_sub, _solve_sub_ckpt, five_point_coefficients, _PARITIES,
 )
 
 
@@ -56,20 +56,38 @@ def _factor_stacked(d4, e4, w4, n4, s4) -> SublatticeFactors:
     return jax.vmap(_factor_sub)(d4, e4, w4, n4, s4)
 
 
+@partial(jax.jit, static_argnames=("stride",))
+def _factor_stacked_ckpt(d4, e4, w4, n4, s4, *, stride: int):
+    Wc, Wlast = jax.vmap(
+        lambda d, e, w, n, s: _factor_sub_ckpt(d, e, w, n, s, stride=stride)
+    )(d4, e4, w4, n4, s4)
+    return CkptSublatticeFactors(Wc=Wc, Wlast=Wlast, d=d4, e=e4, w=w4,
+                                 nvals=n4, svals=s4, stride=stride)
+
+
 @jax.jit
-def _solve_stacked(stacked: SublatticeFactors, b) -> jax.Array:
-    Nx, Ny = b.shape
+def _solve_stacked(stacked, b) -> jax.Array:
+    solve_one = (_solve_sub_ckpt
+                 if isinstance(stacked, CkptSublatticeFactors) else _solve_sub)
     b4 = jnp.stack([b[px::2, py::2] for (px, py) in _PARITIES])
-    x4 = jax.vmap(_solve_sub)(stacked, b4)
+    x4 = jax.vmap(solve_one)(stacked, b4)
     x = jnp.zeros_like(b)
     for k, (px, py) in enumerate(_PARITIES):
         x = x.at[px::2, py::2].set(x4[k])
     return x
 
 
-def factor_sharded(op: HelmholtzOperator, mesh: Mesh) -> StackedFactors:
+def factor_sharded(op: HelmholtzOperator, mesh: Mesh, *,
+                   checkpointed: bool = False,
+                   stride: int = 32) -> StackedFactors:
     """Factor with the sublattice axis sharded over ``mesh`` axis 0 (use 1,
-    2, or 4 devices; even Nx/Ny only)."""
+    2, or 4 devices; even Nx/Ny only).
+
+    ``checkpointed=True`` composes the two memory levers: the sublattice
+    axis divides storage over devices AND W is stored only every ``stride``
+    rows (fdfd/direct.py). At 4096^2 that is ~2.1 GB of checkpoints per
+    device on 4 devices, vs 272 GB store-all on one — the configuration
+    that makes exact hard-media solves reachable on a pod slice."""
     Nx, Ny = op.shape
     assert Nx % 2 == 0 and Ny % 2 == 0, "sharded direct solve needs even N"
     assert mesh.devices.ndim == 1 and 4 % mesh.devices.shape[0] == 0, \
@@ -78,7 +96,10 @@ def factor_sharded(op: HelmholtzOperator, mesh: Mesh) -> StackedFactors:
     sh = NamedSharding(mesh, P(ax))
     coeffs = _stack_coefficients(op)
     coeffs = tuple(jax.device_put(c, sh) for c in coeffs)
-    stacked = _factor_stacked(*coeffs)
+    if checkpointed:
+        stacked = _factor_stacked_ckpt(*coeffs, stride=stride)
+    else:
+        stacked = _factor_stacked(*coeffs)
     return StackedFactors(stacked=stacked, shape=(Nx, Ny))
 
 
