@@ -385,9 +385,17 @@ class DirectSolver:
             # rows; each solve re-runs the inversion recursion twice
             subs = factor_checkpointed(self.op, stride=stride)
             self._solve_fn = lambda r: solve_checkpointed(subs, r)
+            wmax = max(float(jnp.max(jnp.abs(s.Wc))) for s in subs)
         else:
             factors = factor(self.op)
             self._solve_fn = lambda r: solve_factored(factors, r)
+            wmax = max(float(jnp.max(jnp.abs(s.Ws))) for s in factors.subs)
+        # element-growth diagnostic for the pivotless recursion: ||W||_max
+        # scaled by the operator's diagonal magnitude. O(1..1e3) is healthy
+        # (measured ~40 on the hard 5x-binary 1024^2 scene); >>1e6 flags a
+        # near-singular leading block — solve() reports it on a refine stall.
+        dmax = float(jnp.max(jnp.abs(self.op.diagonal())))
+        self.factor_growth = wmax * dmax
         self.op64 = make_operator_f64(np.asarray(eps), np.asarray(mu), dx, dy,
                                       self.omega, pml_thickness, sigma_max, m)
 
@@ -408,6 +416,19 @@ class DirectSolver:
         out = refine(self.op64, b64, self._solve_fn,
                      target=refine_target, max_rounds=max_refine_rounds,
                      inner_dtype=self.dtype)
+        if float(out.relative_residual) > refine_target:
+            # refine stalled: the pivotless c64 factorization did not resolve
+            # a digit. Report it explicitly (with the element-growth
+            # diagnostic) instead of leaving a silently-unconverged trace.
+            import warnings
+
+            warnings.warn(
+                f"direct solve stalled at true residual "
+                f"{float(out.relative_residual):.2e} (target {refine_target:.0e}); "
+                f"factor element growth {self.factor_growth:.2e} — growth "
+                f">>1e6 indicates a near-singular leading block (pivotless "
+                f"block-LU); consider a PML/frequency perturbation or the "
+                f"Krylov path", RuntimeWarning, stacklevel=2)
         if verbose:
             print(f"direct (refined): true res="
                   f"{float(out.relative_residual):.3e} rounds={out.rounds}")

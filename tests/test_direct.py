@@ -226,3 +226,25 @@ def test_direct_sharded_checkpointed_matches_single_device():
     res = np.linalg.norm(np.asarray(op.apply(got) - b)) / \
         np.linalg.norm(np.asarray(b))
     assert res < 1e-10
+
+
+def test_direct_solver_growth_diagnostic_and_stall_warning():
+    """The pivotless factorization exposes an element-growth diagnostic, and
+    an unreachable refine_target surfaces as an explicit RuntimeWarning (not
+    a silently-unconverged trace) citing it."""
+    import warnings
+
+    N, dx, omega = 96, 1e-3, 24e9
+    eps, mu, src = _hard_scene(N)
+    solver = DirectSolver(eps, mu, dx, dx, omega, pml_thickness=16,
+                          dtype=jnp.complex64)
+    assert np.isfinite(solver.factor_growth) and solver.factor_growth > 0
+    assert solver.factor_growth < 1e6, solver.factor_growth  # healthy scene
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        _, trace = solver.solve(src, refine_target=1e-30)  # below f64 floor
+    msgs = [str(w.message) for w in rec
+            if issubclass(w.category, RuntimeWarning)]
+    assert any("stalled" in m and "growth" in m for m in msgs), msgs
+    assert trace[-2] < 1e-8  # the solve itself still refined to the floor
