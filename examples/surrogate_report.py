@@ -47,9 +47,9 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     print(f"restored epoch {epoch - 1}")
     schedule = DDPMSchedule.create(cfg.num_train_timesteps)
 
-    def infer_all(stochastic):
+    def infer_all(stochastic, steps=50, seed=123):
         preds = []
-        key = jax.random.PRNGKey(123)
+        key = jax.random.PRNGKey(seed)
         for c0 in range(0, holdout, 8):
             sl = slice(c0, min(c0 + 8, holdout))
             key, k = jax.random.split(key)
@@ -59,9 +59,9 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
                 jnp.asarray(hold["src"][sl]),
                 jnp.asarray(hold["omega"][sl]).reshape(-1),
                 scales=scales, stochastic=stochastic,
-                prediction_type=pred_type)))
-            print(f"inferred {sl.stop}/{holdout} (stochastic={stochastic})",
-                  flush=True)
+                num_inference_steps=steps, prediction_type=pred_type)))
+            print(f"inferred {sl.stop}/{holdout} (stochastic={stochastic}, "
+                  f"steps={steps})", flush=True)
         return np.concatenate(preds)
 
     pred = infer_all(True)
@@ -138,24 +138,76 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
               f"worst {np.min(corr_r):.4f}")
         extra = dict(rel_r=rel_r, rel_fit_r=rel_fit_r, corr_r=corr_r)
 
+    # posterior-mean ensemble: the conditional task is deterministic, so the
+    # Bayes-optimal L2 readout is E[x0|scene]; averaging K independent
+    # stochastic chains cancels the sampling variance the single-sample
+    # readouts carry.
+    K = 8
+    ens = np.zeros_like(P)
+    for j in range(K):
+        ens += infer_all(True, seed=1000 + j).reshape(holdout, -1) \
+            .astype(np.float64)
+    ens /= K
+    a_e = (ens * T).sum(1) / ((ens * ens).sum(1) + 1e-30)
+    rel_fit_e = np.linalg.norm(a_e[:, None] * ens - T, axis=1) / tn
+    Ec = ens - ens.mean(axis=1, keepdims=True)
+    corr_e = (Ec * Tc).sum(1) / (np.linalg.norm(Ec, axis=1)
+                                 * np.linalg.norm(Tc, axis=1) + 1e-30)
+    print(f"  ensemble mean of {K} stochastic chains:")
+    print(f"  best-fit rel L2    : {stats(rel_fit_e)}")
+    print(f"  Pearson corr       : mean {np.mean(corr_e):.4f} "
+          f"median {np.median(corr_e):.4f} best {np.max(corr_e):.4f} "
+          f"worst {np.min(corr_e):.4f}")
+    extra.update(rel_fit_e=rel_fit_e, corr_e=corr_e)
+
+    # chain-length sweep (deterministic chain): for conditional regression
+    # readouts, short chains often beat the full 50-step schedule — the late
+    # (high-noise) steps only inject posterior-sampling variance. (steps=1
+    # would evaluate at t=0 on pure noise — out of distribution; the one-call
+    # t=T-1 readout is `regress` above.)
+    sweep = {}
+    for steps in (2, 5, 10, 25):
+        Ps = infer_all(False, steps).reshape(holdout, -1).astype(np.float64)
+        a_s = (Ps * T).sum(1) / ((Ps * Ps).sum(1) + 1e-30)
+        rf = np.linalg.norm(a_s[:, None] * Ps - T, axis=1) / tn
+        Psc = Ps - Ps.mean(axis=1, keepdims=True)
+        cs = (Psc * Tc).sum(1) / (np.linalg.norm(Psc, axis=1)
+                                  * np.linalg.norm(Tc, axis=1) + 1e-30)
+        print(f"  det chain, {steps:2d} steps: best-fit rel L2 "
+              f"mean {np.mean(rf):.4f} median {np.median(rf):.4f}; "
+              f"corr mean {np.mean(cs):.4f}")
+        sweep[f"rel_fit_s{steps}"] = rf
+        sweep[f"corr_s{steps}"] = cs
+
     np.savez(os.path.join(out_dir, "holdout_report.npz"),
              rel=rel, rel_fit=rel_fit, corr=corr, rel_d=rel_d,
-             rel_fit_d=rel_fit_d, corr_d=corr_d, **extra)
+             rel_fit_d=rel_fit_d, corr_d=corr_d, **extra, **sweep)
 
-    order = np.argsort(rel_fit_d)
+    # panels from the best readout (lowest mean amplitude-calibrated rel-L2)
+    cands = {"det-chain-50": (pred_det, rel_fit_d),
+             "ensemble-8": (ens.reshape(true.shape), rel_fit_e)}
+    if pred_reg is not None:
+        cands["regression"] = (pred_reg, rel_fit_r)
+    best_name = min(cands, key=lambda k: np.mean(cands[k][1]))
+    panel_pred, panel_rel = cands[best_name]
+    order = np.argsort(panel_rel)
     for tag, idx in (("best", order[0]), ("median", order[holdout // 2]),
                      ("worst", order[-1])):
-        plot_ref_v_inference(true[idx], pred_det[idx],
+        plot_ref_v_inference(true[idx], panel_pred[idx],
                              os.path.join(out_dir, f"holdout_{tag}.png"))
-    print(f"wrote holdout_[best|median|worst].png to {out_dir}")
+    print(f"wrote holdout_[best|median|worst].png to {out_dir} "
+          f"(readout: {best_name})")
 
     # training curves from the CLI logs
     csv = os.path.join(eval_dir, "holdout_metrics.csv")
     ep, mean_rel = [], []
     if os.path.exists(csv):
+        by_ep = {}
         for line in open(csv):
             f = line.strip().split(",")
-            ep.append(int(f[0])); mean_rel.append(float(f[1]))
+            by_ep[int(f[0])] = float(f[1])
+        ep = sorted(by_ep)
+        mean_rel = [by_ep[e] for e in ep]
     losses = []
     runs_dir = os.path.dirname(eval_dir)
     suffix = ""
@@ -167,10 +219,14 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     if log:
         import re
 
+        # key by epoch number (last occurrence wins): resumed runs re-log
+        # the epochs between the restored checkpoint and the interruption
+        by_epoch = {}
         for line in open(log):
             m = re.match(r"epoch (\d+): loss ([0-9.eE+-]+)$", line.strip())
             if m:
-                losses.append(float(m.group(2)))
+                by_epoch[int(m.group(1))] = float(m.group(2))
+        losses = [by_epoch[e] for e in sorted(by_epoch)]
     if losses:
         plot_training_curves(losses, ep or None, mean_rel or None,
                              os.path.join(out_dir, "training_curves.png"))
