@@ -77,14 +77,16 @@ def _fdtd(N: int, steps: int, backend: str, reps: int = 3):
 
 
 def bench_fdtd2048(on_tpu):
-    N, steps = (2048, 2000) if on_tpu else (512, 50)
+    # 6000 steps => ~0.3 s per dispatch: the ~20-30 ms tunnel fetch
+    # latency (CLAUDE.md timing gotcha) stays <10% of the window
+    N, steps = (2048, 6000) if on_tpu else (512, 50)
     v = _fdtd(N, steps, "pallas" if on_tpu else "jax", reps=4)
     return {"metric": f"fdtd_yee_updates_{N}x{N}", "value": round(v, 3),
             "unit": "GCells/s", "vs_baseline": round(v / FDTD_BASELINE, 1)}
 
 
 def bench_fdtd4096(on_tpu):
-    N, steps = (4096, 1024) if on_tpu else (256, 32)
+    N, steps = (4096, 2048) if on_tpu else (256, 32)
     v = _fdtd(N, steps, "auto" if on_tpu else "jax")
     return {"metric": f"fdtd_yee_updates_{N}x{N}_auto", "value": round(v, 3),
             "unit": "GCells/s", "vs_baseline": round(v / FDTD_BASELINE, 1)}
