@@ -117,7 +117,12 @@ def bench_fdfd512(on_tpu):
 
     b = to_device_complex(src, jnp.complex64)
     M, _ = resolve_preconditioner(op, "fdm")
-    kw = dict(preconditioner=M, tol=1e-6, maxiter=3000)
+    # restart=20: fgmres cost granularity is the RESTART CYCLE (a cycle
+    # always runs its full Arnoldi loop — ops/krylov.py), so the default 40
+    # wastes up to 39 iterations past convergence: measured 2.2 s at 40 vs
+    # 1.39 s at 20 vs 1.23 s at 16, identical 2.7e-6 true residual. 20
+    # keeps margin for harder scenes over the cherry-picked minimum.
+    kw = dict(preconditioner=M, tol=1e-6, maxiter=3000, restart=20)
     res = solve_fdfd(op, b, **kw)   # compile + converge once
     _sync(res.x)
     t0 = time.perf_counter()
