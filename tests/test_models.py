@@ -323,3 +323,38 @@ def test_regress_readout():
         batch["eps"] / 2.0, batch["mu"], batch["src"], batch["omega"])
     np.testing.assert_allclose(np.asarray(out), 3.0 * np.asarray(out_unscaled),
                                rtol=1e-5)
+
+
+def test_ensemble_inference_readout():
+    """ensemble_inference(): mean of stochastic chains — right shape,
+    finite, equals a single chain at n_members=1, and has LOWER spread than
+    single members (variance cancellation)."""
+    from fdtd2d_tpu.models.train import ensemble_inference, inference
+
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4)
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(1000)
+    batch = {k: v[:4] for k, v in data.items()}
+    args = [batch[k] for k in ("eps", "mu", "src")] + [batch["omega"]]
+
+    one = ensemble_inference(state, schedule, KEY, *args, n_members=1,
+                             num_inference_steps=5, prediction_type="x0")
+    k1 = jax.random.split(KEY)[1]
+    direct = inference(state, schedule, k1, *args, num_inference_steps=5,
+                       stochastic=True, prediction_type="x0")
+    np.testing.assert_allclose(np.asarray(one), np.asarray(direct), rtol=1e-6)
+
+    ens = ensemble_inference(state, schedule, KEY, *args, n_members=6,
+                             num_inference_steps=5, prediction_type="x0")
+    assert ens.shape == (4, 32, 32)
+    assert np.all(np.isfinite(np.asarray(ens)))
+    # members scatter around the ensemble mean: the mean's deviation from a
+    # fresh member is dominated by that member's own noise, and the ensemble
+    # has strictly smaller spread around it than single members do
+    k2 = jax.random.PRNGKey(99)
+    fresh = inference(state, schedule, k2, *args, num_inference_steps=5,
+                      stochastic=True, prediction_type="x0")
+    d_ens = float(jnp.linalg.norm(ens - fresh))
+    d_one = float(jnp.linalg.norm(one - fresh))
+    assert d_ens < d_one, (d_ens, d_one)
