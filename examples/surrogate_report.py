@@ -142,12 +142,15 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     # Bayes-optimal L2 readout is E[x0|scene]; averaging K independent
     # stochastic chains cancels the sampling variance the single-sample
     # readouts carry.
+    from fdtd2d_tpu.models.train import ensemble_inference
+
     K = 8
-    ens = np.zeros_like(P)
-    for j in range(K):
-        ens += infer_all(True, seed=1000 + j).reshape(holdout, -1) \
-            .astype(np.float64)
-    ens /= K
+    ens = np.asarray(ensemble_inference(
+        state, schedule, jax.random.PRNGKey(1000),
+        jnp.asarray(hold["eps"]), jnp.asarray(hold["mu"]),
+        jnp.asarray(hold["src"]), jnp.asarray(hold["omega"]).reshape(-1),
+        n_members=K, scales=scales, prediction_type=pred_type,
+        chunk=8)).reshape(holdout, -1).astype(np.float64)
     a_e = (ens * T).sum(1) / ((ens * ens).sum(1) + 1e-30)
     rel_fit_e = np.linalg.norm(a_e[:, None] * ens - T, axis=1) / tn
     Ec = ens - ens.mean(axis=1, keepdims=True)

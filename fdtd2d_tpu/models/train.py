@@ -219,7 +219,8 @@ def ensemble_inference(state: TrainState, schedule: DDPMSchedule, key, eps,
                        mu, src, omega, n_members: int = 8,
                        num_inference_steps: int = 50,
                        scales: Optional[dict] = None,
-                       prediction_type: str = "epsilon"):
+                       prediction_type: str = "epsilon",
+                       chunk: int = 0):
     """Posterior-mean surrogate readout: the mean of ``n_members``
     independent stochastic DDPM chains. The conditional task is
     deterministic (scene -> one field), so the Bayes-optimal L2 readout is
@@ -229,14 +230,33 @@ def ensemble_inference(state: TrainState, schedule: DDPMSchedule, key, eps,
     for the deterministic 50-step chain and 0.44 for one stochastic chain.
     NOTE the posterior mean shrinks amplitude where the model is uncertain
     (~4x measured); calibrate with the best-fit scalar <pred,true>/<pred,pred>
-    when an unbiased amplitude matters."""
+    when an unbiased amplitude matters.
+
+    ``chunk > 0`` slices the batch so only ``chunk`` samples' UNet
+    activations are live at once (a full 64-sample batch at 256^2 costs
+    several GB — same rationale as :func:`holdout_relative_l2`). Each
+    chunk folds its offset into the member key, so chunks draw independent
+    noise; chunked and unchunked results are therefore statistically
+    equivalent but not bitwise equal."""
+    B = eps.shape[0]
     out = None
     for _ in range(n_members):
         key, k = jax.random.split(key)
-        member = inference(state, schedule, k, eps, mu, src, omega,
-                           num_inference_steps=num_inference_steps,
-                           scales=scales, stochastic=True,
-                           prediction_type=prediction_type)
+        if chunk and chunk < B:
+            parts = []
+            for c0 in range(0, B, chunk):
+                sl = slice(c0, min(c0 + chunk, B))
+                parts.append(inference(
+                    state, schedule, jax.random.fold_in(k, c0), eps[sl],
+                    mu[sl], src[sl], omega[sl],
+                    num_inference_steps=num_inference_steps, scales=scales,
+                    stochastic=True, prediction_type=prediction_type))
+            member = jnp.concatenate(parts, axis=0)
+        else:
+            member = inference(state, schedule, k, eps, mu, src, omega,
+                               num_inference_steps=num_inference_steps,
+                               scales=scales, stochastic=True,
+                               prediction_type=prediction_type)
         out = member if out is None else out + member
     return out / n_members
 

@@ -358,3 +358,27 @@ def test_ensemble_inference_readout():
     d_ens = float(jnp.linalg.norm(ens - fresh))
     d_one = float(jnp.linalg.norm(one - fresh))
     assert d_ens < d_one, (d_ens, d_one)
+
+
+def test_ensemble_inference_chunked():
+    """chunk > 0 keeps only chunk samples' activations live; the chunked
+    readout has the same shape/statistics (finite, comparable scale) as the
+    unchunked one (different noise draws, so not bitwise equal)."""
+    from fdtd2d_tpu.models.train import ensemble_inference
+
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4)
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(1000)
+    batch = {k: v[:4] for k, v in data.items()}
+    args = [batch[k] for k in ("eps", "mu", "src")] + [batch["omega"]]
+
+    full = ensemble_inference(state, schedule, KEY, *args, n_members=3,
+                              num_inference_steps=5, prediction_type="x0")
+    chunked = ensemble_inference(state, schedule, KEY, *args, n_members=3,
+                                 num_inference_steps=5,
+                                 prediction_type="x0", chunk=2)
+    assert chunked.shape == full.shape == (4, 32, 32)
+    assert np.all(np.isfinite(np.asarray(chunked)))
+    r = float(jnp.linalg.norm(chunked - full) / jnp.linalg.norm(full))
+    assert r < 1.0, r
