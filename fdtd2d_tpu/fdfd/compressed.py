@@ -1,0 +1,234 @@
+"""Rank-structured (HODLR) storage for the block-Thomas inverses.
+
+The exact direct solver (fdtd2d_tpu/fdfd/direct.py) stores one dense
+(nc x nc) inverse per sublattice block row — 4*(N/2)^3*8 B total, the
+memory wall that caps stored-factor solves at ~1024^2-1448^2 on one chip
+(34 GB at 2048^2). This module keeps the factorization EXACT (the Schur
+recursion still carries the dense previous inverse) but stores each
+computed inverse W_r in fixed-rank HODLR form:
+
+    - dense diagonal leaf blocks (2^L blocks of size m = nc/2^L), and
+    - per level l = 1..L, the sibling off-diagonal blocks (size nc/2^l)
+      as rank-r factors U (b x r), V (r x b) from a one-pass randomized
+      range finder  U = qr(B @ Omega),  V = U^H B.
+
+Empirical basis (runs/rank_study.py, measured on the genuinely hard
+1024^2 50%-duty binary-5x scene where ORAS stalls): every HODLR
+off-diagonal block of every W_r in the recursion has numerical rank
+<= 16 at 1e-4 global tolerance, at every sampled depth and level. With
+leaf 128 and rank 20 the store shrinks ~3.8x (~9 GB at 2048^2 instead
+of 34), and the backsolve stays two scans of small batched matmuls per
+sublattice — MXU work, not recursion re-runs like the checkpointed mode.
+
+The solve against compressed factors carries the ~1e-4 range-finder
+error per W application; :class:`fdtd2d_tpu.fdfd.direct.DirectSolver`
+wraps every production solve in split-complex f64 iterative refinement
+(fdfd/refine.py), which contracts by the application accuracy per round
+and therefore restores true f64 residuals in a few extra rounds.
+
+Reference lineage: this is the "repeat solves past the memory wall"
+completion of the direct solver the reference intended in C++ (Eigen
+SparseLU includes, /root/reference/src/fdfd.cpp:1-3, never written) and
+used from scipy (spsolve, /root/reference/python-src/fdfd.py:112) —
+regimes (2048^2+, hard contrast) where sparse-LU fill-in makes the
+reference's method infeasible outright.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fdtd2d_tpu.fdfd.direct import (
+    _PARITIES, _cinv, _tridiag, five_point_coefficients)
+from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator
+
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+
+def hodlr_plan(nc: int, *, leaf: int = 128, rank: int = 20) -> int:
+    """Number of HODLR levels L for an (nc x nc) inverse: the deepest
+    partition whose leaves still divide nc and stay above both the target
+    leaf size and 2*rank (blocks must be meaningfully taller than the
+    rank for the range finder to compress anything)."""
+    L = 0
+    while (nc % (1 << (L + 1))) == 0 and (nc >> (L + 1)) >= max(leaf, 2 * rank):
+        L += 1
+    return L
+
+
+def make_test_matrices(nc: int, L: int, rank: int, seed: int = 0,
+                       dtype=jnp.complex64) -> Tuple[jax.Array, ...]:
+    """Per-level random range-finder test matrices Omega_l (b_l x rank),
+    complex standard Gaussian. Built host-side and passed as ARGUMENTS to
+    the jitted factorization: complex closure constants are inlined as HLO
+    literals, which this TPU backend does not implement (CLAUDE.md); the
+    transfer itself goes through real/imag parts for the same reason."""
+    from fdtd2d_tpu.ops.cplx import to_device_complex
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for lev in range(1, L + 1):
+        b = nc >> lev
+        om = (rng.standard_normal((b, rank))
+              + 1j * rng.standard_normal((b, rank))) / np.sqrt(2.0)
+        out.append(to_device_complex(om, dtype))
+    return tuple(out)
+
+
+def _compress_row(W, omegas, L: int):
+    """Dense (nc x nc) -> HODLR pytree: {'D': (2^L, m, m) diagonal leaves,
+    'levels': ((Uu, Vu, Ul, Vl), ...) off-diagonal factors per level}."""
+    nc = W.shape[0]
+    nleaf = 1 << L
+    m = nc >> L
+    idx = jnp.arange(nleaf)
+    D = W.reshape(nleaf, m, nleaf, m)[idx, :, idx, :]
+    levels = []
+    with jax.default_matmul_precision("highest"):
+        for lev in range(1, L + 1):
+            b = nc >> lev
+            npair = 1 << (lev - 1)
+            ev = jnp.arange(npair) * 2
+            W4 = W.reshape(1 << lev, b, 1 << lev, b)
+            Bu = W4[ev, :, ev + 1, :]          # (npair, b, b) upper siblings
+            Bl = W4[ev + 1, :, ev, :]          # lower siblings
+            Om = omegas[lev - 1]
+
+            def range_factor(B):
+                Y = _mm(B, Om)                          # (npair, b, r)
+                # TPU QR underflows internally on tiny-scale input (a
+                # ||B||~1e-12 block measured Q-orthogonality error 4e5 on
+                # chip while CPU was exact); Q is scale-invariant, so
+                # normalize the sketch to O(1) first.
+                s = jnp.max(jnp.abs(Y), axis=(-2, -1), keepdims=True)
+                Q, _ = jnp.linalg.qr(Y / jnp.where(s > 0, s, 1.0))
+                V = _mm(jnp.conj(jnp.swapaxes(Q, -1, -2)), B)
+                return Q, V
+
+            Uu, Vu = range_factor(Bu)
+            Ul, Vl = range_factor(Bl)
+            levels.append((Uu, Vu, Ul, Vl))
+    return {"D": D, "levels": tuple(levels)}
+
+
+def _hodlr_matvec(row, v):
+    """y = W v from one compressed row; exact on the leaves, rank-r on the
+    off-diagonal blocks."""
+    D = row["D"]
+    nleaf, m, _ = D.shape
+    nc = nleaf * m
+    y = _mm(D, v.reshape(nleaf, m)[..., None])[..., 0].reshape(nc)
+    for (Uu, Vu, Ul, Vl) in row["levels"]:
+        npair, b, _ = Uu.shape
+        vp = v.reshape(npair, 2, b)
+        cu = _mm(Uu, _mm(Vu, vp[:, 1][..., None]))[..., 0]   # -> first halves
+        cl = _mm(Ul, _mm(Vl, vp[:, 0][..., None]))[..., 0]   # -> second halves
+        y = y + jnp.stack([cu, cl], axis=1).reshape(nc)
+    return y
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompressedSublatticeFactors:
+    rows: dict          # stacked HODLR rows: every leaf has leading dim nr
+    nvals: jax.Array    # (nr, nc) coupling to row r-1 (row 0 unused)
+    svals: jax.Array    # (nr, nc) coupling to row r+1 (last row unused)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CompressedFactors:
+    subs: Tuple[CompressedSublatticeFactors, ...]
+    shape: Tuple[int, int] = dataclasses.field(metadata=dict(static=True))
+
+
+def _factor_sub_compressed(d, e, w, nvals, svals, omegas, L: int):
+    """Block-Thomas recursion with a DENSE carry (the Schur updates stay
+    exact) emitting compressed rows. Peak memory: one dense (nc x nc)
+    carry + the compressed store."""
+    W0 = _cinv(_tridiag(d[0], e[0], w[0]))
+    c0 = _compress_row(W0, omegas, L)
+
+    def body(Wprev, row):
+        d_r, e_r, w_r, n_r, s_rm1 = row
+        U = _tridiag(d_r, e_r, w_r) - n_r[:, None] * Wprev * s_rm1[None, :]
+        W = _cinv(U)
+        return W, _compress_row(W, omegas, L)
+
+    _, rows = jax.lax.scan(body, W0, (d[1:], e[1:], w[1:], nvals[1:],
+                                      svals[:-1]))
+    rows = jax.tree.map(lambda a, b: jnp.concatenate([a[None], b], axis=0),
+                        c0, rows)
+    return CompressedSublatticeFactors(rows=rows, nvals=nvals, svals=svals)
+
+
+@functools.partial(jax.jit, static_argnames=("L",))
+def factor_compressed(op: HelmholtzOperator, omegas, *,
+                      L: int) -> CompressedFactors:
+    """HODLR-compressed factorization of all four sublattices. ``omegas``
+    from :func:`make_test_matrices` (per-level test matrices for the
+    half-resolution sublattice column count nc = Ny/2)."""
+    d, e, w, s, n = five_point_coefficients(op)
+    subs = []
+    for (px, py) in _PARITIES:
+        sub = lambda a: a[px::2, py::2]
+        subs.append(_factor_sub_compressed(
+            sub(d), sub(e), sub(w), sub(n), sub(s), omegas, L))
+    return CompressedFactors(subs=tuple(subs), shape=op.shape)
+
+
+def _solve_sub_compressed(f: CompressedSublatticeFactors, b):
+    """x = A^{-1} b on one compressed sublattice; identical forward and
+    backward scans to fdfd/direct.py:_solve_sub with the dense W matvec
+    replaced by the HODLR matvec."""
+    row0 = jax.tree.map(lambda a: a[0], f.rows)
+    z0 = _hodlr_matvec(row0, b[0])
+
+    def fwd(zprev, xs):
+        b_r, n_r, row = xs
+        z_r = _hodlr_matvec(row, b_r - n_r * zprev)
+        return z_r, z_r
+
+    rows_rest = jax.tree.map(lambda a: a[1:], f.rows)
+    _, zs = jax.lax.scan(fwd, z0, (b[1:], f.nvals[1:], rows_rest))
+    zs = jnp.concatenate([z0[None], zs], axis=0)
+
+    x_last = zs[-1]
+
+    def bwd(xnext, xs):
+        z_r, s_r, row = xs
+        x_r = z_r - _hodlr_matvec(row, s_r * xnext)
+        return x_r, x_r
+
+    rows_head = jax.tree.map(lambda a: a[:-1], f.rows)
+    _, xs = jax.lax.scan(bwd, x_last, (zs[:-1], f.svals[:-1], rows_head),
+                         reverse=True)
+    return jnp.concatenate([xs, x_last[None]], axis=0)
+
+
+@jax.jit
+def solve_compressed(f: CompressedFactors, b) -> jax.Array:
+    """x ~= A^{-1} b from compressed factors (accurate to the range-finder
+    tolerance, ~1e-4 at rank 20 on the hard scene — wrap in refinement for
+    exact residuals); b (Nx, Ny) complex."""
+    Nx, Ny = f.shape
+    b = b.reshape(Nx, Ny)
+    x = jnp.zeros_like(b)
+    for (px, py), fs in zip(_PARITIES, f.subs):
+        x = x.at[px::2, py::2].set(_solve_sub_compressed(fs, b[px::2, py::2]))
+    return x
+
+
+def compressed_bytes(f: CompressedFactors) -> int:
+    """Bytes in the compressed store (diagnostic; compare against the dense
+    store's 4 * nr * nc^2 * itemsize)."""
+    return sum(int(leaf.size * leaf.dtype.itemsize)
+               for s in f.subs
+               for leaf in jax.tree.leaves(s.rows))

@@ -370,17 +370,36 @@ class DirectSolver:
 
     def __init__(self, eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
                  sigma_max: float = 2.0, m: int = 3, dtype=jnp.complex64,
-                 checkpointed: bool = False, stride: int = 32):
+                 checkpointed: bool = False, stride: int = 32,
+                 compressed: bool = False, rank: int = 20, leaf: int = 128):
         import numpy as np
 
         from fdtd2d_tpu.ops.helmholtz import make_operator
         from fdtd2d_tpu.ops.splitc import make_operator_f64
 
+        if checkpointed and compressed:
+            raise ValueError("choose one of checkpointed/compressed")
         self.omega = float(omega)
         self.dtype = dtype
         self.op = make_operator(eps, mu, dx, dy, self.omega,
                                 pml_thickness, sigma_max, m, dtype)
-        if checkpointed:
+        if compressed:
+            # past-the-memory-wall mode with FAST repeat solves: stores every
+            # inverse in fixed-rank HODLR form (fdfd/compressed.py); the
+            # range-finder error (~1e-4) is absorbed by the f64 refinement
+            from fdtd2d_tpu.fdfd import compressed as _comp
+
+            nc = self.op.shape[1] // 2
+            L = _comp.hodlr_plan(nc, leaf=leaf, rank=rank)
+            omegas = _comp.make_test_matrices(nc, L, rank, dtype=dtype)
+            factors = _comp.factor_compressed(self.op, omegas, L=L)
+            self._solve_fn = lambda r: _comp.solve_compressed(factors, r)
+            self.compressed_bytes = _comp.compressed_bytes(factors)
+            # leaf blocks carry W's dominant entries; good enough for the
+            # element-growth diagnostic
+            wmax = max(float(jnp.max(jnp.abs(s.rows["D"])))
+                       for s in factors.subs)
+        elif checkpointed:
             # past-the-memory-wall mode (2048^2+): stores W every `stride`
             # rows; each solve re-runs the inversion recursion twice
             subs = factor_checkpointed(self.op, stride=stride)

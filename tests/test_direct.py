@@ -248,3 +248,43 @@ def test_direct_solver_growth_diagnostic_and_stall_warning():
             if issubclass(w.category, RuntimeWarning)]
     assert any("stalled" in m and "growth" in m for m in msgs), msgs
     assert trace[-2] < 1e-8  # the solve itself still refined to the floor
+
+
+def test_compressed_factors_match_dense_and_refine():
+    """HODLR-compressed factors (fdfd/compressed.py): the raw backsolve is
+    accurate to the range-finder tolerance, the refined production path
+    reaches the same true residuals as the dense store, and the store is
+    actually smaller."""
+    from fdtd2d_tpu.fdfd import compressed as comp
+    from fdtd2d_tpu.ops.helmholtz import make_operator
+
+    N, dx, omega = 160, 1e-3, 24e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=20,
+                       dtype=jnp.complex64)
+    b = jnp.asarray(-1j * omega * src, jnp.complex64)
+
+    nc = N // 2
+    L = comp.hodlr_plan(nc, leaf=16, rank=10)
+    assert L >= 2, f"plan produced too-shallow hierarchy: L={L}"
+    omegas = comp.make_test_matrices(nc, L, rank=10, dtype=jnp.complex64)
+    f = comp.factor_compressed(op, omegas, L=L)
+
+    # raw compressed backsolve: range-finder-accurate vs the dense store
+    x_dense = solve_factored(factor(op), b)
+    x_comp = comp.solve_compressed(f, b)
+    rel = float(jnp.linalg.norm(x_comp - x_dense)
+                / jnp.linalg.norm(x_dense))
+    assert rel < 1e-2, f"compressed vs dense backsolve: {rel:.2e}"
+
+    dense_bytes = 4 * (N // 2) * nc * nc * 8
+    assert comp.compressed_bytes(f) < dense_bytes, (
+        comp.compressed_bytes(f), dense_bytes)
+
+    # production path: DirectSolver(compressed=True) + f64 refinement
+    solver = DirectSolver(eps, mu, dx, dx, omega, pml_thickness=20,
+                          dtype=jnp.complex64, compressed=True, rank=10,
+                          leaf=16)
+    x, trace = solver.solve(src, refine_target=1e-8)
+    assert trace[-2] < 1e-8, f"refined true residual: {trace[-2]:.2e}"
+    assert trace[-1] < 5e-5  # downcast floor of the returned c64 array
