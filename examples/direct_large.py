@@ -5,11 +5,17 @@ spsolve LU dies of fill-in (README.md:135 reports ~20 s already at 1000^2)
 and the two-level ORAS tiled solver stalls at ~0.3 relative residual.
 
 Store-all-W factors need 4*(N/2)^3*8 B (34 GB at 2048^2 — impossible on one
-chip); the checkpointed mode stores W every `stride` rows (~1 GB total at
-2048^2) and re-runs the inversion recursion twice per solve, trading
-compute for the W-storage wall.
+chip). Two past-the-wall modes:
 
-Usage: python examples/direct_large.py [N] [stride]
+- checkpointed (default): stores W every `stride` rows (~1 GB total at
+  2048^2) and re-runs the inversion recursion twice per solve, trading
+  compute for the W-storage wall.
+- compressed: stores every W in fixed-rank HODLR form (fdfd/compressed.py,
+  ~9 GB at 2048^2 with rank 20/leaf 128); repeat solves stay two batched-
+  matmul scans — no recursion re-runs — and f64 refinement restores the
+  exact residual.
+
+Usage: python examples/direct_large.py [N] [stride] [checkpointed|compressed]
 """
 import sys
 import time
@@ -36,17 +42,28 @@ def hard_scene(N, seed=7):
     return eps, mu, src
 
 
-def main(N=2048, stride=64):
+def main(N=2048, stride=64, mode="checkpointed"):
     omega, dx = 17e9, 1e-3
     eps, mu, src = hard_scene(N)
-    print(f"N={N} stride={stride}: checkpoint memory "
-          f"~{4 * (N // 2 // stride + 1) * (N // 2) ** 2 * 8 / 1e9:.2f} GB "
-          f"(store-all would be {4 * (N // 2) ** 3 * 8 / 1e9:.1f} GB)")
+    store_all = 4 * (N // 2) ** 3 * 8 / 1e9
+    if mode == "checkpointed":
+        print(f"N={N} stride={stride}: checkpoint memory "
+              f"~{4 * (N // 2 // stride + 1) * (N // 2) ** 2 * 8 / 1e9:.2f} "
+              f"GB (store-all would be {store_all:.1f} GB)")
+        kwargs = dict(checkpointed=True, stride=stride)
+    elif mode == "compressed":
+        print(f"N={N}: HODLR-compressed W store "
+              f"(store-all would be {store_all:.1f} GB)")
+        kwargs = dict(compressed=True)
+    else:
+        raise SystemExit(f"unknown mode {mode!r}")
 
     t0 = time.perf_counter()
-    solver = DirectSolver(eps, mu, dx, dx, omega, checkpointed=True,
-                          stride=stride)
+    solver = DirectSolver(eps, mu, dx, dx, omega, **kwargs)
     t_build = time.perf_counter() - t0
+    if mode == "compressed":
+        print(f"compressed store: {solver.compressed_bytes / 1e9:.2f} GB "
+              f"({store_all / (solver.compressed_bytes / 1e9):.1f}x smaller)")
 
     t0 = time.perf_counter()
     x, trace = solver.solve(src, refine_target=1e-8, verbose=True)
@@ -61,4 +78,5 @@ def main(N=2048, stride=64):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 2048,
-         int(sys.argv[2]) if len(sys.argv) > 2 else 64)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+         sys.argv[3] if len(sys.argv) > 3 else "checkpointed")

@@ -27,6 +27,10 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator
+from fdtd2d_tpu.fdfd.compressed import (
+    CompressedSublatticeFactors, _factor_sub_compressed,
+    _solve_sub_compressed, hodlr_plan, make_test_matrices,
+)
 from fdtd2d_tpu.fdfd.direct import (
     CkptSublatticeFactors, SublatticeFactors, _factor_sub, _factor_sub_ckpt,
     _solve_sub, _solve_sub_ckpt, five_point_coefficients, _PARITIES,
@@ -65,10 +69,21 @@ def _factor_stacked_ckpt(d4, e4, w4, n4, s4, *, stride: int):
                                  nvals=n4, svals=s4, stride=stride)
 
 
+@partial(jax.jit, static_argnames=("L",))
+def _factor_stacked_compressed(d4, e4, w4, n4, s4, omegas, *, L: int):
+    return jax.vmap(
+        lambda d, e, w, n, s: _factor_sub_compressed(d, e, w, n, s, omegas, L)
+    )(d4, e4, w4, n4, s4)
+
+
 @jax.jit
 def _solve_stacked(stacked, b) -> jax.Array:
-    solve_one = (_solve_sub_ckpt
-                 if isinstance(stacked, CkptSublatticeFactors) else _solve_sub)
+    if isinstance(stacked, CkptSublatticeFactors):
+        solve_one = _solve_sub_ckpt
+    elif isinstance(stacked, CompressedSublatticeFactors):
+        solve_one = _solve_sub_compressed
+    else:
+        solve_one = _solve_sub
     b4 = jnp.stack([b[px::2, py::2] for (px, py) in _PARITIES])
     x4 = jax.vmap(solve_one)(stacked, b4)
     x = jnp.zeros_like(b)
@@ -78,8 +93,9 @@ def _solve_stacked(stacked, b) -> jax.Array:
 
 
 def factor_sharded(op: HelmholtzOperator, mesh: Mesh, *,
-                   checkpointed: bool = False,
-                   stride: int = 32) -> StackedFactors:
+                   checkpointed: bool = False, stride: int = 32,
+                   compressed: bool = False, rank: int = 20,
+                   leaf: int = 128) -> StackedFactors:
     """Factor with the sublattice axis sharded over ``mesh`` axis 0 (use 1,
     2, or 4 devices; even Nx/Ny only).
 
@@ -87,7 +103,14 @@ def factor_sharded(op: HelmholtzOperator, mesh: Mesh, *,
     axis divides storage over devices AND W is stored only every ``stride``
     rows (fdfd/direct.py). At 4096^2 that is ~2.1 GB of checkpoints per
     device on 4 devices, vs 272 GB store-all on one — the configuration
-    that makes exact hard-media solves reachable on a pod slice."""
+    that makes exact hard-media solves reachable on a pod slice.
+
+    ``compressed=True`` shards the HODLR store (fdfd/compressed.py)
+    instead: repeat solves stay two matvec scans (no recursion re-runs)
+    while per-device memory drops by the sublattice split TIMES the HODLR
+    compression — ~8.7 GB/device at 4096^2 rank 20 on 4 devices."""
+    if checkpointed and compressed:
+        raise ValueError("choose one of checkpointed/compressed")
     Nx, Ny = op.shape
     assert Nx % 2 == 0 and Ny % 2 == 0, "sharded direct solve needs even N"
     assert mesh.devices.ndim == 1 and 4 % mesh.devices.shape[0] == 0, \
@@ -98,6 +121,11 @@ def factor_sharded(op: HelmholtzOperator, mesh: Mesh, *,
     coeffs = tuple(jax.device_put(c, sh) for c in coeffs)
     if checkpointed:
         stacked = _factor_stacked_ckpt(*coeffs, stride=stride)
+    elif compressed:
+        nc = Ny // 2
+        L = hodlr_plan(nc, leaf=leaf, rank=rank)
+        omegas = make_test_matrices(nc, L, rank, dtype=op.dtype)
+        stacked = _factor_stacked_compressed(*coeffs, omegas, L=L)
     else:
         stacked = _factor_stacked(*coeffs)
     return StackedFactors(stacked=stacked, shape=(Nx, Ny))

@@ -288,3 +288,35 @@ def test_compressed_factors_match_dense_and_refine():
     x, trace = solver.solve(src, refine_target=1e-8)
     assert trace[-2] < 1e-8, f"refined true residual: {trace[-2]:.2e}"
     assert trace[-1] < 5e-5  # downcast floor of the returned c64 array
+
+
+def test_direct_sharded_compressed_matches_single_device():
+    """HODLR-compressed factors sharded over the 4-device sublattice axis
+    reproduce the single-device compressed backsolve and stay range-finder
+    accurate against the exact solve."""
+    from fdtd2d_tpu.fdfd import compressed as comp
+    from fdtd2d_tpu.parallel.mesh import make_mesh
+    from fdtd2d_tpu.parallel.direct_sharded import (
+        factor_sharded, solve_factored_sharded)
+
+    N, dx, omega = 160, 1e-3, 24e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=20,
+                       dtype=jnp.complex64)
+    b = jnp.asarray(-1j * omega * src, jnp.complex64)
+
+    nc = N // 2
+    L = comp.hodlr_plan(nc, leaf=16, rank=10)
+    omegas = comp.make_test_matrices(nc, L, rank=10, dtype=jnp.complex64)
+    want = comp.solve_compressed(comp.factor_compressed(op, omegas, L=L), b)
+
+    mesh = make_mesh((4,), axis_names=("s",))
+    f = factor_sharded(op, mesh, compressed=True, rank=10, leaf=16)
+    got = solve_factored_sharded(f, b)
+    rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
+    assert rel < 1e-6, f"sharded compressed vs single-device: {rel:.2e}"
+
+    exact = solve_direct(op, b.astype(jnp.complex128))
+    rel2 = float(jnp.linalg.norm(got.astype(jnp.complex128) - exact)
+                 / jnp.linalg.norm(exact))
+    assert rel2 < 1e-2, f"sharded compressed vs exact: {rel2:.2e}"
