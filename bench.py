@@ -12,6 +12,9 @@ invisible to the driver. This suite covers the solver stack:
     tiled1024    two-level ORAS tiled solve, moderate-contrast scene, warm
                  repeat-solve seconds (TiledSolver build excluded — the
                  build-once/solve-many production pattern)
+    tiled1024approx  same scene solved to the REFERENCE's accuracy class
+                 (1e-2 relative residual, no refinement) — the direct
+                 apples-to-apples row against its ~3 s claim
     datagen      vmapped on-device surrogate datagen (exact direct labels),
                  samples/s
     trainstep    diffusion-surrogate train step, ms (batch 8 @ 256^2)
@@ -215,6 +218,29 @@ def bench_tiled1024(on_tpu):
             "unit": "s", "vs_baseline": round(TILED1024_BASELINE_S / dt, 2)}
 
 
+def bench_tiled1024_approx(on_tpu):
+    """Apples-to-apples row vs the reference's ~3 s tiled claim: same scene
+    class and size, solved to 1e-2 RELATIVE RESIDUAL (a stronger bound than
+    the reference's tol=1e-2 on the iterate delta, which leaves O(10%) field
+    bias — tiled_solver.py:214-222). No refinement; small restart because
+    fgmres cost granularity is the restart cycle (ops/krylov.py)."""
+    from fdtd2d_tpu.fdfd.tiled import TiledSolver
+
+    N, omega = (1024, 17e9) if on_tpu else (160, 17e9)
+    dx = 1e-3
+    eps, mu, src = _block_scene(N, contrast=1.5)
+    solver = TiledSolver(eps, mu, dx, dx, omega, outer_restart=10)
+    kw = dict(solver_tol=1e-2, solver_maxiter=60, refine_target=None)
+    _, trace = solver.solve(src, **kw)      # compile + warm
+    t0 = time.perf_counter()
+    _, trace = solver.solve(src, **kw)
+    dt = time.perf_counter() - t0
+    assert trace[-1] < 1e-2, f"tiled approx solve did not converge: {trace}"
+    return {"metric": f"tiled_{N}sq_refaccuracy_warm_solve",
+            "value": round(dt, 3), "unit": "s",
+            "vs_baseline": round(TILED1024_BASELINE_S / dt, 2)}
+
+
 def bench_datagen(on_tpu):
     import jax
 
@@ -269,6 +295,7 @@ BENCHES = [
     ("fdfd512", bench_fdfd512),
     ("direct1024", bench_direct1024),
     ("tiled1024", bench_tiled1024),
+    ("tiled1024approx", bench_tiled1024_approx),
     ("datagen", bench_datagen),
     ("trainstep", bench_trainstep),
     ("fdtd2048", bench_fdtd2048),
