@@ -12,7 +12,7 @@ computed inverse W_r in fixed-rank HODLR form:
       as rank-r factors U (b x r), V (r x b) from a one-pass randomized
       range finder  U = qr(B @ Omega),  V = U^H B.
 
-Empirical basis (runs/rank_study.py, measured on the genuinely hard
+Empirical basis (examples/rank_study.py, measured on the genuinely hard
 1024^2 50%-duty binary-5x scene where ORAS stalls): every HODLR
 off-diagonal block of every W_r in the recursion has numerical rank
 <= 16 at 1e-4 global tolerance, at every sampled depth and level. With
