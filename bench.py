@@ -141,20 +141,12 @@ def _contrast_scene(N: int, seed: int = 7):
     """Deterministic 50%-duty binary 5x-contrast scene (the datagen
     distribution at benchmark scale — the regime where the reference's LU
     dies of fill-in, plain FDM stalls, AND the two-level ORAS stalls at
-    ~0.3; only the sublattice direct factorization solves it). NOTE the
-    round-2 'contrast' scene thresholded a blurred standard normal at ~5
-    sigma and was accidentally near-uniform."""
-    from scipy.ndimage import gaussian_filter
+    ~0.3; only the sublattice direct factorization solves it). The honest
+    recipe is pinned once in core/scenes.py (round 2's copy was
+    accidentally near-uniform)."""
+    from fdtd2d_tpu.core.scenes import hard_binary_scene
 
-    from fdtd2d_tpu import constants
-
-    rng = np.random.default_rng(seed)
-    blur = gaussian_filter(rng.random((N, N)), sigma=N / 64)
-    eps = np.where(blur > np.median(blur), 5.0, 1.0) * constants.EPSILON_0
-    mu = np.full((N, N), constants.MU_0)
-    src = np.zeros((N, N))
-    src[N // 2, N // 2] = 1.0
-    return eps, mu, src
+    return hard_binary_scene(N, seed=seed)
 
 
 def _block_scene(N: int, contrast: float = 2.5):
@@ -349,12 +341,18 @@ def main() -> int:
         if line is None:
             sys.stderr.write(f"[bench {name}] giving up\n")
             continue
-        results.append(line)
+        results.append((name, line))
         sys.stderr.write(f"[bench {name}] {line}\n")
     # all JSON lines on stdout, headline last
-    for line in results:
+    for _, line in results:
         print(line)
-    return 0 if results else 1
+    # the driver parses the FINAL line as the headline: if the last
+    # requested bench (the headline) produced nothing, a different metric
+    # would silently be read in its place — fail loudly instead
+    if not results or results[-1][0] != names[-1]:
+        sys.stderr.write(f"[bench] headline {names[-1]!r} missing\n")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

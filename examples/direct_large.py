@@ -31,15 +31,9 @@ from fdtd2d_tpu.fdfd.direct import DirectSolver  # noqa: E402
 
 
 def hard_scene(N, seed=7):
-    from scipy.ndimage import gaussian_filter
+    from fdtd2d_tpu.core.scenes import hard_binary_scene
 
-    rng = np.random.default_rng(seed)
-    blur = gaussian_filter(rng.random((N, N)), sigma=N / 64)
-    eps = np.where(blur > np.median(blur), 5.0, 1.0) * constants.EPSILON_0
-    mu = np.full((N, N), constants.MU_0)
-    src = np.zeros((N, N))
-    src[N // 3, N // 3] = 1.0
-    return eps, mu, src
+    return hard_binary_scene(N, seed=seed, source_xy=(N // 3, N // 3))
 
 
 def main(N=2048, stride=64, mode="checkpointed"):

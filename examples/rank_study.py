@@ -13,17 +13,12 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
-from scipy.ndimage import gaussian_filter
-
-from fdtd2d_tpu import constants
 from fdtd2d_tpu.ops.helmholtz import make_operator
 from fdtd2d_tpu.fdfd.direct import five_point_coefficients
 
 N, omega, dx = 1024, 17e9, 1e-3
-rng = np.random.default_rng(7)
-blur = gaussian_filter(rng.random((N, N)), sigma=N / 64)
-eps = np.where(blur > np.median(blur), 5.0, 1.0) * constants.EPSILON_0
-mu = np.full((N, N), constants.MU_0)
+from fdtd2d_tpu.core.scenes import hard_binary_scene  # noqa: E402
+eps, mu, _ = hard_binary_scene(N, seed=7)
 
 op = make_operator(eps, mu, dx, dx, omega, pml_thickness=40,
                    dtype=jnp.complex128)

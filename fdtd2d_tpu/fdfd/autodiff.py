@@ -101,5 +101,11 @@ def solve_helmholtz_differentiable(op: HelmholtzOperator, b, *,
     b = b.reshape(op.shape).astype(op.dtype)
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    else:
+        # canonicalize like b BEFORE entering the custom_vjp: the bwd rule
+        # returns zeros_like(g) (solution shape/dtype) as the x0 cotangent,
+        # which only matches the caller's aval if the reshape/cast happen
+        # out here where AD can transpose them
+        x0 = x0.reshape(op.shape).astype(op.dtype)
     M, builtin = resolve_preconditioner(op, preconditioner)
     return _solve(op, b, M, x0, method, builtin, tol, maxiter)

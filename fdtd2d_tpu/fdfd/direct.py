@@ -214,16 +214,15 @@ def solve_direct(op: HelmholtzOperator, b) -> jax.Array:
 @dataclasses.dataclass(frozen=True)
 class CkptSublatticeFactors:
     """Checkpointed block-Thomas state for one sublattice: W stored only
-    every ``stride`` block rows plus the final row, with the tridiagonal
-    inputs kept so intermediate inverses can be recomputed per segment.
-    Memory: (nr/stride + 1) * nc^2 instead of nr * nc^2 — at 2048^2 that is
+    every ``stride`` block rows, with the tridiagonal inputs kept so
+    intermediate inverses can be recomputed per segment.
+    Memory: (nr/stride) * nc^2 instead of nr * nc^2 — at 2048^2 that is
     ~0.6 GB per sublattice (stride 32) instead of 8.6 GB. The price: each
     solve re-runs the inversion recursion twice (forward + backward pass),
     so this is the ONE-SHOT/large-grid path; below the memory wall use
     :func:`factor` (stored inverses, millisecond repeat solves)."""
 
     Wc: jax.Array       # (nseg, nc, nc) checkpoints W_{k*stride}
-    Wlast: jax.Array    # (nc, nc) W_{nr-1}
     d: jax.Array        # (nr, nc) tridiagonal inputs
     e: jax.Array
     w: jax.Array
@@ -255,11 +254,10 @@ def _factor_sub_ckpt(d, e, w, nvals, svals, *, stride: int):
         return Wnext, Wk
 
     Wend, Wc = jax.lax.scan(seg, W0, jnp.arange(nseg - 1))
-    # last segment stops at row nr-1 (stride-1 steps)
-    Wlast, _ = jax.lax.scan(row, Wend, (nseg - 1) * stride + 1
-                            + jnp.arange(stride - 1))
+    # the last segment's interior W's are recomputed at solve time from the
+    # Wend checkpoint like every other segment's; nothing past it is stored
     Wc = jnp.concatenate([Wc, Wend[None]], axis=0)
-    return Wc, Wlast
+    return Wc
 
 
 @jax.jit
@@ -342,8 +340,8 @@ def factor_checkpointed(op: HelmholtzOperator, stride: int = 32):
     for (px, py) in _PARITIES:
         sub = lambda a: a[px::2, py::2]
         ds, es, ws, ns, ss = sub(d), sub(e), sub(w), sub(n), sub(s)
-        Wc, Wlast = _factor_sub_ckpt(ds, es, ws, ns, ss, stride=stride)
-        subs.append(CkptSublatticeFactors(Wc=Wc, Wlast=Wlast, d=ds, e=es,
+        Wc = _factor_sub_ckpt(ds, es, ws, ns, ss, stride=stride)
+        subs.append(CkptSublatticeFactors(Wc=Wc, d=ds, e=es,
                                           w=ws, nvals=ns, svals=ss,
                                           stride=stride))
     return tuple(subs)

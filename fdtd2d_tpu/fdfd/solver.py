@@ -118,20 +118,21 @@ def _solve_core(op, b, M, *, method, builtin_pc, tol, maxiter, restart,
         M = jacobi_preconditioner(op)
 
     matvec = op.apply
+    x0c = None if x0 is None else x0.reshape(Nx, Ny).astype(op.dtype)
     if method == "fgmres":
         from fdtd2d_tpu.ops.krylov import fgmres
 
         out = fgmres(matvec, b2, M, restart=restart, maxiter=maxiter, tol=tol,
-                     x0=None if x0 is None else x0.reshape(Nx, Ny).astype(op.dtype))
+                     x0=x0c)
         x = out.x
     elif method == "bicgstab":
         x, _ = jax.scipy.sparse.linalg.bicgstab(
-            matvec, b2, tol=tol, maxiter=maxiter, M=M
+            matvec, b2, x0=x0c, tol=tol, maxiter=maxiter, M=M
         )
     elif method == "gmres":
         x, _ = jax.scipy.sparse.linalg.gmres(
-            matvec, b2, tol=tol, maxiter=maxiter, restart=restart, M=M,
-            solve_method="batched",
+            matvec, b2, x0=x0c, tol=tol, maxiter=maxiter, restart=restart,
+            M=M, solve_method="batched",
         )
     else:
         raise ValueError(f"unknown method {method!r}")

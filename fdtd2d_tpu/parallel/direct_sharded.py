@@ -62,10 +62,10 @@ def _factor_stacked(d4, e4, w4, n4, s4) -> SublatticeFactors:
 
 @partial(jax.jit, static_argnames=("stride",))
 def _factor_stacked_ckpt(d4, e4, w4, n4, s4, *, stride: int):
-    Wc, Wlast = jax.vmap(
+    Wc = jax.vmap(
         lambda d, e, w, n, s: _factor_sub_ckpt(d, e, w, n, s, stride=stride)
     )(d4, e4, w4, n4, s4)
-    return CkptSublatticeFactors(Wc=Wc, Wlast=Wlast, d=d4, e=e4, w=w4,
+    return CkptSublatticeFactors(Wc=Wc, d=d4, e=e4, w=w4,
                                  nvals=n4, svals=s4, stride=stride)
 
 

@@ -69,8 +69,26 @@ def solve_fdfd_sharded(op: HelmholtzOperator, b, mesh: Mesh, **solve_kwargs) -> 
     return solve_fdfd(sharded, b, **solve_kwargs)
 
 
+def _to_staggered(state, N, M):
+    """Normalize an (Ez, Hx, Hy) state to the staggered single-device
+    shapes (Hx (N, M-1), Hy (N-1, M)). Padded arrays' extra column/row feed
+    only zero-coefficient updates, so truncation is lossless."""
+    Ez, Hx, Hy = state
+    if Hx.shape[1] == M:
+        Hx = Hx[:, : M - 1]
+    if Hy.shape[0] == N:
+        Hy = Hy[: N - 1, :]
+    return Ez, Hx, Hy
+
+
 def simulate_sharded(eps, mu, config, mesh: Mesh, state=None):
     """FDTD rollout sharded over the mesh.
+
+    Contract matches single-device :func:`~fdtd2d_tpu.fdtd.simulate` on
+    EVERY dispatch path: returns ``(Ez, Hx, Hy), snapshots`` with the
+    staggered shapes (Hx (N, M-1), Hy (N-1, M)); ``state`` is accepted in
+    either the staggered or the padded (N, M) convention (a round-tripped
+    result from any prior call works).
 
     Backend resolution (config.backend):
     - "auto"/"ttiled" + a 1D mesh whose row decomposition the temporally-
@@ -84,16 +102,18 @@ def simulate_sharded(eps, mu, config, mesh: Mesh, state=None):
     """
     from fdtd2d_tpu.fdtd.simulate import simulate
 
+    N, M = jnp.asarray(eps).shape
+    if state is not None:
+        state = _to_staggered(state, N, M)
+
     if config.backend in ("auto", "ttiled") and mesh.devices.ndim == 1:
         from fdtd2d_tpu.parallel.fdtd_sharded import (
             plan_sharded_ttiled, simulate_sharded_ttiled)
 
-        shape = jnp.asarray(eps).shape
-        if plan_sharded_ttiled(shape[0], shape[1],
-                               mesh.devices.shape[0]) is not None:
+        if plan_sharded_ttiled(N, M, mesh.devices.shape[0]) is not None:
             return simulate_sharded_ttiled(eps, mu, config, mesh, state=state)
         if config.backend == "ttiled":
-            raise ValueError(f"grid {shape} over {mesh.devices.shape[0]} "
+            raise ValueError(f"grid {(N, M)} over {mesh.devices.shape[0]} "
                              "devices admits no ttiled row decomposition")
 
     # GSPMD fallback. padded=True: uniform (N, N) field shapes shard
@@ -104,8 +124,11 @@ def simulate_sharded(eps, mu, config, mesh: Mesh, state=None):
     eps = jax.device_put(jnp.asarray(eps, cfg.dtype), sh)
     mu = jax.device_put(jnp.asarray(mu, cfg.dtype), sh)
     if state is not None:
-        state = tuple(jax.device_put(jnp.asarray(s, cfg.dtype), sh) for s in state)
-    return simulate(eps, mu, cfg, state=state)
+        Ez, Hx, Hy = (jnp.asarray(s, cfg.dtype) for s in state)
+        state = tuple(jax.device_put(s, sh) for s in (
+            Ez, jnp.pad(Hx, ((0, 0), (0, 1))), jnp.pad(Hy, ((0, 1), (0, 0)))))
+    fields, snaps = simulate(eps, mu, cfg, state=state)
+    return _to_staggered(fields, N, M), snaps
 
 
 # ---------------------------------------------------------------------------

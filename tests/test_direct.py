@@ -20,18 +20,11 @@ from fdtd2d_tpu.fdfd.direct import (
 
 
 def _hard_scene(N, seed=3):
-    """Datagen-distribution binary 5x medium (NOT the accidentally-uniform
-    round-2 scene: gaussian_filter(standard_normal, 12) > 0.12 selects ~5
-    sigma of a blurred field, i.e. nothing)."""
-    from scipy.ndimage import gaussian_filter
+    """Datagen-distribution binary 5x medium (the honest recipe pinned in
+    core/scenes.py; fixed sigma=4 keeps features resolvable at test N)."""
+    from fdtd2d_tpu.core.scenes import hard_binary_scene
 
-    rng = np.random.default_rng(seed)
-    blur = gaussian_filter(rng.random((N, N)), sigma=4.0)
-    eps = np.where(blur > np.median(blur), 5.0, 1.0) * constants.EPSILON_0
-    mu = np.full((N, N), constants.MU_0)
-    src = np.zeros((N, N))
-    src[N // 2, N // 2] = 10.0
-    return eps, mu, src
+    return hard_binary_scene(N, seed=seed, sigma=4.0, source_amp=10.0)
 
 
 def test_five_point_matches_apply():
@@ -198,7 +191,6 @@ def test_checkpointed_memory_shape():
     subs = factor_checkpointed(op, stride=8)
     for fs in subs:
         assert fs.Wc.shape == (32 // 8, 32, 32)
-        assert fs.Wlast.shape == (32, 32)
 
 
 def test_direct_sharded_checkpointed_matches_single_device():

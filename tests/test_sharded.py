@@ -131,8 +131,17 @@ def test_sharded_fdtd_matches_single_device():
     (want, _, _), _ = simulate(eps, mu, cfg)
 
     mesh = make_mesh((2, 4))
-    (got, _, _), _ = simulate_sharded(eps, mu, cfg, mesh)
+    (got, hx, hy), _ = simulate_sharded(eps, mu, cfg, mesh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0, atol=1e-12)
+    # contract: EVERY dispatch path returns the staggered single-device
+    # shapes, and a round-tripped state is accepted back (continuation
+    # matches a single-device continuation)
+    assert hx.shape == (N, N - 1) and hy.shape == (N - 1, N)
+    state1 = simulate(eps, mu, cfg)[0]
+    (want2, _, _), _ = simulate(eps, mu, cfg, state=state1)
+    (got2, _, _), _ = simulate_sharded(eps, mu, cfg, mesh, state=(got, hx, hy))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=0, atol=1e-12)
 
 
 def test_sharded_ttiled_fdtd_matches_oracle():
