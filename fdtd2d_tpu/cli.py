@@ -362,7 +362,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep the whole dataset on device, inputs in f16 "
                         "(exact for binary/mask channels) — epochs run at "
                         "compute speed with no per-epoch host streaming")
-    f.add_argument("--prediction-type", choices=("epsilon", "x0"),
+    f.add_argument("--prediction-type", choices=("epsilon", "x0", "regression"),
                    default="epsilon",
                    help="model target: the added noise (reference recipe) or "
                         "the clean field; 'x0' is the recipe that generates "
@@ -382,7 +382,7 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--steps", type=int, default=50)
     f.add_argument("--seed", type=int, default=0)
     f.add_argument("--out", type=str, default="inference.png")
-    f.add_argument("--prediction-type", choices=("epsilon", "x0"),
+    f.add_argument("--prediction-type", choices=("epsilon", "x0", "regression"),
                    default="epsilon",
                    help="must match the recipe the checkpoint was trained "
                         "with (recorded in the training log)")

@@ -67,7 +67,12 @@ class TrainConfig:
     # option, but it leaves t > ~500 untrained (see diffusion.loss_weight)
     # and cannot generate scene-locked fields from a full chain. The recipe
     # that works end-to-end is ("x0", "uniform", "uniform").
-    prediction_type: str = "epsilon"   # "epsilon" | "x0"
+    # "regression" trains the same UNet as a plain supervised surrogate
+    # (no noising, t pinned to 0, unweighted MSE): one forward pass at
+    # inference instead of a 50-step chain — the deterministic
+    # scene->field task's strongest single-call readout, a model family
+    # the reference does not have.
+    prediction_type: str = "epsilon"   # "epsilon" | "x0" | "regression"
     t_sampling: str = "snr"            # "snr" (SNR^1.3 importance) | "uniform"
     loss_weighting: str = "snr_gamma"  # "snr_gamma" | "min_snr" | "uniform"
 
@@ -98,13 +103,20 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
     x0/uniform/uniform recipe is the one that generates)."""
     k_t, k_noise = jax.random.split(key)
     B = batch["Ez"].shape[0]
-    if t_sampling == "uniform":
-        t = jax.random.randint(k_t, (B,), 0, schedule.num_timesteps)
+    if prediction_type == "regression":
+        # plain supervised surrogate: no noising, t pinned to 0, plain MSE
+        t = jnp.zeros((B,), jnp.int32)
+        noisy = jnp.zeros_like(batch["Ez"])
+        target = batch["Ez"]
     else:
-        t = importance_sample_timesteps(schedule, k_t, B, gamma=t_gamma)
-    noise = jax.random.normal(k_noise, batch["Ez"].shape, batch["Ez"].dtype)
-    noisy = schedule.add_noise(batch["Ez"], noise, t)
-    target = batch["Ez"] if prediction_type == "x0" else noise
+        if t_sampling == "uniform":
+            t = jax.random.randint(k_t, (B,), 0, schedule.num_timesteps)
+        else:
+            t = importance_sample_timesteps(schedule, k_t, B, gamma=t_gamma)
+        noise = jax.random.normal(k_noise, batch["Ez"].shape,
+                                  batch["Ez"].dtype)
+        noisy = schedule.add_noise(batch["Ez"], noise, t)
+        target = batch["Ez"] if prediction_type == "x0" else noise
 
     def loss_fn(params):
         pred, updates = state.apply_fn(
@@ -112,8 +124,11 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
             batch["eps"], batch["mu"], batch["src"], noisy,
             t, batch["omega"], train=True, mutable=["batch_stats"],
         )
-        w = loss_weight(schedule, t, weighting, prediction_type,
-                        gamma=snr_gamma)
+        if prediction_type == "regression":
+            w = 1.0
+        else:
+            w = loss_weight(schedule, t, weighting, prediction_type,
+                            gamma=snr_gamma)
         per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2))
         return jnp.mean(w * per_sample), updates["batch_stats"]
 
@@ -170,7 +185,10 @@ def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
     the returned field is denormalized back to physical units.
     ``stochastic=False`` runs the deterministic (DDIM-like) chain — for a
     near-deterministic conditional task it reads out closer to the
-    posterior mean than a stochastic sample."""
+    posterior mean than a stochastic sample.
+
+    ``prediction_type="regression"`` checkpoints skip the chain entirely:
+    one forward pass at t=0 on a zero field IS the model's prediction."""
 
     if scales is not None:
         eps = eps / scales["eps"]
@@ -183,10 +201,14 @@ def inference(state: TrainState, schedule: DDPMSchedule, key, eps, mu, src,
             eps, mu, src, x, t, om, train=False,
         )
 
-    out = sample(schedule, apply_fn, key, eps, mu, src, omega,
-                 num_inference_steps=num_inference_steps,
-                 stochastic=stochastic, prediction_type=prediction_type,
-                 t_start=t_start)
+    if prediction_type == "regression":
+        out = apply_fn(eps, mu, src, jnp.zeros_like(eps),
+                       jnp.zeros((eps.shape[0],), jnp.int32), omega)
+    else:
+        out = sample(schedule, apply_fn, key, eps, mu, src, omega,
+                     num_inference_steps=num_inference_steps,
+                     stochastic=stochastic, prediction_type=prediction_type,
+                     t_start=t_start)
     if scales is not None:
         out = out * scales["Ez"]
     return out

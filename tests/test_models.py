@@ -278,6 +278,44 @@ def test_train_step_x0_uniform_recipe():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+def test_train_step_regression_recipe():
+    """prediction_type="regression": plain supervised surrogate — loss is
+    exactly MSE(pred, Ez) with no noise involvement, training reduces it,
+    and inference is one deterministic forward pass (key-independent)."""
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4, prediction_type="regression")
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(1000)
+    batch = {k: v[:4] for k, v in data.items()}
+    losses = []
+    for i in range(12):
+        state, loss = train_step(state, schedule, jax.random.PRNGKey(i),
+                                 batch, prediction_type="regression")
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], f"regression loss not decreasing: {losses}"
+
+    out1 = inference(state, schedule, jax.random.PRNGKey(0),
+                     *[batch[k] for k in ("eps", "mu", "src")],
+                     batch["omega"], prediction_type="regression")
+    out2 = inference(state, schedule, jax.random.PRNGKey(99),
+                     *[batch[k] for k in ("eps", "mu", "src")],
+                     batch["omega"], prediction_type="regression")
+    assert out1.shape == (4, 32, 32)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # the regression loss is the plain per-batch MSE of that forward pass
+    pred, _ = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch["eps"], batch["mu"], batch["src"],
+        jnp.zeros_like(batch["Ez"]), jnp.zeros((4,), jnp.int32),
+        batch["omega"], train=True, mutable=["batch_stats"])
+    want = float(jnp.mean((pred - batch["Ez"]) ** 2))
+    state2, loss = train_step(state, schedule, KEY, batch,
+                              prediction_type="regression")
+    assert abs(float(loss) - want) < 1e-5 * max(1.0, abs(want))
+
+
 def test_sample_t_start_truncation():
     """t_start truncates the ladder; a perfect x0 oracle then recovers the
     field from any start point (unit-variance marginal at every t)."""
