@@ -15,8 +15,9 @@ curves (loss + holdout rel-L2) to assets.
 
 Run: python examples/surrogate_report.py DATA.npz CKPT_DIR EVAL_DIR OUT_DIR \
         [HOLDOUT] [PRED_TYPE]
-PRED_TYPE ("epsilon"|"x0") must match the recipe the checkpoint was trained
-with.
+PRED_TYPE ("epsilon"|"x0"|"regression") must match the recipe the
+checkpoint was trained with; "regression" checkpoints skip the chain-only
+readouts (one deterministic pass IS the prediction).
 """
 
 import os
@@ -64,8 +65,12 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
                   f"steps={steps})", flush=True)
         return np.concatenate(preds)
 
+    # a regression checkpoint has no chain: one deterministic pass IS the
+    # prediction, so every readout below collapses to the same array —
+    # compute it once and skip the chain-only sections
+    is_reg = pred_type == "regression"
     pred = infer_all(True)
-    pred_det = infer_all(False)
+    pred_det = pred if is_reg else infer_all(False)
     true = hold["Ez"]
 
     pred_reg = None
@@ -144,7 +149,7 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     # readouts carry.
     from fdtd2d_tpu.models.train import ensemble_inference
 
-    K = 8
+    K = 1 if is_reg else 8
     ens = np.asarray(ensemble_inference(
         state, schedule, jax.random.PRNGKey(1000),
         jnp.asarray(hold["eps"]), jnp.asarray(hold["mu"]),
@@ -169,7 +174,7 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     # would evaluate at t=0 on pure noise — out of distribution; the one-call
     # t=T-1 readout is `regress` above.)
     sweep = {}
-    for steps in (2, 5, 10, 25):
+    for steps in () if is_reg else (2, 5, 10, 25):
         Ps = infer_all(False, steps).reshape(holdout, -1).astype(np.float64)
         a_s = (Ps * T).sum(1) / ((Ps * Ps).sum(1) + 1e-30)
         rf = np.linalg.norm(a_s[:, None] * Ps - T, axis=1) / tn
