@@ -212,10 +212,42 @@ def _solve_patches_batched(ops_stacked, M, rings, bvals, rhs, tol, maxiter):
     return jax.vmap(one)(ops_stacked, rings, bvals, rhs)
 
 
+def _oras_apply(r2, gop, ops_k, M, weights, flat_idx, origins_dev, *,
+                W: int, inner: int, real):
+    """PoU-blended ORAS patch correction of a (Nx, Ny) residual (call only
+    inside jit). The batched window extraction gathers real/imag
+    separately — complex gather is unimplemented on this TPU backend."""
+    Nx, Ny = gop.shape
+    re, im = jnp.real(r2), jnp.imag(r2)
+
+    def win(o):
+        return (jax.lax.dynamic_slice(re, (o[0], o[1]), (W, W)),
+                jax.lax.dynamic_slice(im, (o[0], o[1]), (W, W)))
+
+    rr, ii = jax.vmap(win)(origins_dev)
+    rloc = jax.lax.complex(rr, ii)
+
+    def one(op, bl):
+        # restart=inner: fgmres's cost granularity is the restart cycle
+        # (a cycle always runs its full Arnoldi loop), so maxiter<restart
+        # would silently still do 30 iterations; no reorthogonalization —
+        # it's a preconditioner, 1-2 digits of local accuracy is all the
+        # outer level uses
+        return fgmres(op.apply, bl, M, restart=inner, maxiter=inner,
+                      tol=1e-12, reorthogonalize=False).x
+
+    sols = jax.vmap(one)(ops_k, rloc) * weights
+    zr = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(jnp.real(sols).ravel())
+    zi = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(jnp.imag(sols).ravel())
+    return jax.lax.complex(zr, zi).reshape(Nx, Ny)
+
+
 @partial(jax.jit,
-         static_argnames=("W", "maxiter", "tol", "inner", "restart"))
+         static_argnames=("W", "maxiter", "tol", "inner", "restart",
+                          "use_patches"))
 def _solve_global_two_level(bb, gop, ops_k, M, Mg, weights, flat_idx,
-                            origins_dev, *, W, maxiter, tol, inner, restart):
+                            origins_dev, *, W, maxiter, tol, inner, restart,
+                            use_patches: bool = True):
     """Two-level (coarse FDM + PoU-ORAS patches) preconditioned FGMRES on
     the global operator. MODULE-LEVEL jit: defining this inside the driver
     created a fresh closure per call, re-tracing and re-lowering the whole
@@ -228,42 +260,18 @@ def _solve_global_two_level(bb, gop, ops_k, M, Mg, weights, flat_idx,
     Nx, Ny = gop.shape
     real = jnp.finfo(bb.dtype).dtype
 
-    def extract(r2):
-        # batched window extraction; complex gather is unimplemented on
-        # this TPU backend, so gather real/imag separately
-        re, im = jnp.real(r2), jnp.imag(r2)
-
-        def one(o):
-            return (jax.lax.dynamic_slice(re, (o[0], o[1]), (W, W)),
-                    jax.lax.dynamic_slice(im, (o[0], o[1]), (W, W)))
-
-        rr, ii = jax.vmap(one)(origins_dev)
-        return jax.lax.complex(rr, ii)
-
-    def oras(r2):
-        rloc = extract(r2)
-
-        def one(op, bl):
-            # restart=inner: fgmres's cost granularity is the restart cycle
-            # (a cycle always runs its full Arnoldi loop), so maxiter<restart
-            # would silently still do 30 iterations; no reorthogonalization —
-            # it's a preconditioner, 1-2 digits of local accuracy is all the
-            # outer level uses
-            return fgmres(op.apply, bl, M, restart=inner, maxiter=inner,
-                          tol=1e-12, reorthogonalize=False).x
-
-        sols = jax.vmap(one)(ops_k, rloc) * weights
-        zr = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(
-            jnp.real(sols).ravel())
-        zi = jnp.zeros((Nx * Ny,), real).at[flat_idx].add(
-            jnp.imag(sols).ravel())
-        return jax.lax.complex(zr, zi).reshape(Nx, Ny)
-
     def two_level(r):
         r2d = r.reshape(Nx, Ny)
         z1 = Mg(r2d)
+        if not use_patches:
+            # adaptive second level (TiledSolver probe): when the
+            # residual-minimizing alpha is negligible the patch solves are
+            # pure per-iteration cost — the coarse level alone is the same
+            # preconditioner at roughly half the price
+            return z1
         r2 = r2d - gop.apply(z1)
-        z2 = oras(r2)
+        z2 = _oras_apply(r2, gop, ops_k, M, weights, flat_idx, origins_dev,
+                         W=W, inner=inner, real=real)
         az2 = gop.apply(z2)
         denom = cnorm(az2) ** 2
         alpha = cdot(az2, r2) / jnp.where(denom == 0, 1.0, denom)
@@ -271,6 +279,31 @@ def _solve_global_two_level(bb, gop, ops_k, M, Mg, weights, flat_idx,
 
     return fgmres(gop.apply, bb, two_level, restart=restart,
                   maxiter=maxiter, tol=tol)
+
+
+@partial(jax.jit, static_argnames=("W", "inner"))
+def _probe_patch_benefit(bb, gop, ops_k, M, Mg, weights, flat_idx,
+                         origins_dev, *, W, inner):
+    """One application of each preconditioner level on r = bb: returns the
+    residual contractions (||r - A z_coarse||/||r||, ||r - A z_two||/||r||).
+    TiledSolver uses the pair to decide whether the patch level pays for
+    itself on this scene — it does not at mild contrast, where the measured
+    residual-minimizing alpha is ~0.02 and the coarse FDM level already
+    contracts by ~0.11."""
+    from fdtd2d_tpu.ops.cplx import cdot, cnorm
+
+    real = jnp.finfo(bb.dtype).dtype
+    rn = cnorm(bb)
+    z1 = Mg(bb)
+    r2 = bb - gop.apply(z1)
+    c_coarse = cnorm(r2) / rn
+    z2 = _oras_apply(r2, gop, ops_k, M, weights, flat_idx, origins_dev,
+                     W=W, inner=inner, real=real)
+    az2 = gop.apply(z2)
+    denom = cnorm(az2) ** 2
+    alpha = cdot(az2, r2) / jnp.where(denom == 0, 1.0, denom)
+    c_two = cnorm(r2 - alpha * az2) / rn
+    return c_coarse, c_two
 
 
 class TiledSolver:
@@ -367,11 +400,30 @@ class TiledSolver:
         self.origins_dev = jnp.asarray(origins, jnp.int32)
         self.op64 = make_operator_f64(eps, mu, dx, dy, self.omega,
                                       pml_thickness=global_pml_thickness)
+        self._patch_decision: bool | None = None  # adaptive probe cache
+
+    def _probe_use_patches(self, b) -> bool:
+        """Scene-level adaptive second level: apply each preconditioner
+        level once and keep the patch corrections only when they buy a
+        materially better contraction. The decision is cached — it depends
+        on the scene (operator + patches), not on the RHS."""
+        if self._patch_decision is None:
+            cc, ct = _probe_patch_benefit(
+                b, self.gop, self.ops_stacked, self.M, self.Mg,
+                self.weights, self.flat_idx, self.origins_dev, W=self.W,
+                inner=self.inner_iters)
+            cc, ct = float(cc), float(ct)
+            # skip patches only when the coarse level is already strong
+            # (contraction < 0.5) AND the patch level improves it < 30%;
+            # anywhere FDM degrades (hard contrast) the patches stay on
+            self._patch_decision = not (cc < 0.5 and ct > 0.7 * cc)
+            self._patch_probe = (cc, ct)
+        return self._patch_decision
 
     def solve(self, source, *, rhs_scale=None, solver_tol: float = 1e-4,
               solver_maxiter: int = 300, refine_target: float | None = 1e-6,
               max_refine_rounds: int = 8, return_split: bool = False,
-              verbose: bool = False):
+              adaptive: bool = True, verbose: bool = False):
         """Solve for one source. Returns ``(field, residual_trace)``; the RHS
         is ``rhs_scale * source`` (default ``-1j*omega``, the reference tiled
         convention, tiled_solver.py:57).
@@ -383,18 +435,32 @@ class TiledSolver:
         refined. Pass ``return_split=True`` to get the split-complex f64
         solution itself (a :class:`~fdtd2d_tpu.ops.splitc.Split`) as
         ``field`` — then the trace carries no downcast entry.
+
+        ``adaptive``: probe (once per scene) whether the ORAS patch level
+        improves on the coarse FDM contraction; if not, solve with the
+        coarse level alone — about half the per-iteration cost at mild
+        contrast, identical convergence (the probe keeps patches anywhere
+        they matter). Pass False to force the full two-level application.
         """
         from fdtd2d_tpu.ops.cplx import to_device_complex
 
         source = np.asarray(source)
         scale = (-1j * self.omega) if rhs_scale is None else complex(rhs_scale)
+        b = to_device_complex(np.asarray(source, np.complex128) * scale,
+                              self.dtype)
+        use_patches = self._probe_use_patches(b) if adaptive else True
+        if verbose and adaptive:
+            cc, ct = self._patch_probe
+            print(f"patch probe: coarse {cc:.3f} two-level {ct:.3f} -> "
+                  f"{'two-level' if use_patches else 'coarse-only'}")
 
         def inner_solve(rhs):
             return _solve_global_two_level(
                 rhs, self.gop, self.ops_stacked, self.M, self.Mg,
                 self.weights, self.flat_idx, self.origins_dev, W=self.W,
                 maxiter=solver_maxiter, tol=solver_tol,
-                inner=self.inner_iters, restart=self.outer_restart).x
+                inner=self.inner_iters, restart=self.outer_restart,
+                use_patches=use_patches).x
 
         if refine_target is not None:
             # mixed-precision iterative refinement: f64 split-complex
@@ -420,12 +486,11 @@ class TiledSolver:
             return xc, list(out.trace) + [true_relative_residual(
                 self.op64, b64, xc)]
 
-        b = to_device_complex(np.asarray(source, np.complex128) * scale,
-                              self.dtype)
         out = _solve_global_two_level(
             b, self.gop, self.ops_stacked, self.M, self.Mg, self.weights,
             self.flat_idx, self.origins_dev, W=self.W, maxiter=solver_maxiter,
-            tol=solver_tol, inner=self.inner_iters, restart=self.outer_restart)
+            tol=solver_tol, inner=self.inner_iters, restart=self.outer_restart,
+            use_patches=use_patches)
         if verbose:
             print(f"krylov tiled: res={float(out.relative_residual):.3e} "
                   f"iters={int(out.iterations)}")

@@ -153,6 +153,34 @@ def test_tiled_solver_reuse_across_sources():
     assert d > 0, "distinct sources must give distinct fields"
 
 
+def test_tiled_adaptive_second_level():
+    """The scene-level probe drops the ORAS patch level when the coarse FDM
+    contraction is already strong and patches buy <30% — convergence is
+    unchanged, per-iteration cost roughly halves. adaptive=False forces the
+    full two-level application; both reach the refine target."""
+    from fdtd2d_tpu.fdfd.tiled import TiledSolver
+
+    N, dx, omega = 160, 1e-3, 17e9
+    eps, mu, _ = _scene(N)
+    src = np.zeros((N, N)); src[N // 2, N // 2] = 10.0
+
+    solver = TiledSolver(eps, mu, dx, dx, omega, patch_size=64, padding=24,
+                         pml_thickness=10)
+    xa, ta = solver.solve(src, solver_tol=1e-5, solver_maxiter=60,
+                          refine_target=1e-7)
+    assert solver._patch_decision is not None      # probe ran
+    cc, ct = solver._patch_probe
+    assert 0 < cc < 1 and 0 < ct <= cc + 1e-6      # patches never hurt
+    assert ta[-2] < 1e-7
+
+    xf, tf = solver.solve(src, solver_tol=1e-5, solver_maxiter=60,
+                          refine_target=1e-7, adaptive=False)
+    assert tf[-2] < 1e-7
+    rel = (np.linalg.norm(np.asarray(xa) - np.asarray(xf))
+           / np.linalg.norm(np.asarray(xf)))
+    assert rel < 1e-4, f"adaptive and forced solves disagree: {rel:.2e}"
+
+
 @pytest.mark.parametrize("mode", ["additive", "multiplicative"])
 @pytest.mark.slow
 def test_tiled_stationary_modes_approximate(mode):
