@@ -336,12 +336,35 @@ def _ttiled_run(ezp, hxp, hyp, cep, chp, fparams, off, *, nsweeps: int,
     return ezp, hxp, hyp
 
 
+def pick_sweep_depth(N: int, M: int, dtype_bytes: int = 4):
+    """Jointly choose (K, PH): the deepest temporal tile whose panel still
+    keeps the redundant-halo compute 2K/PH at or below 25%. Measured at
+    4096^2 on v5e (examples/ttiled_tune.py): K=32/PH=256 runs 75 GCells/s
+    vs 60 for K=16/PH=256 — deeper tiles amortize both HBM traffic and
+    per-sweep scratch copies until the halo overhead eats the gain
+    (K=48/PH=256 drops to 66). Where VMEM forces small panels (8192^2 ->
+    PH=128) the cap keeps K=16."""
+    for K in (32, 24, 16):
+        GH = max(8, -(-K // 8) * 8)
+        try:
+            PH = pick_panel_height(N, M, GH, dtype_bytes)
+        except ValueError:
+            continue
+        if 2 * K / PH <= 0.25:
+            return K, PH, GH
+    GH = 16
+    return 16, pick_panel_height(N, M, GH, dtype_bytes), GH
+
+
 def fdtd_multistep_ttiled(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy,
                           nsteps: int, source_kind: str, step_offset,
-                          K: int = 16, PH: int | None = None,
+                          K: int | None = None, PH: int | None = None,
                           interpret: bool = False):
     """Multi-step advance with standard staggered shapes: ceil(nsteps/K)
     temporally-tiled sweeps (each one pallas_call over row panels).
+
+    ``K``/``PH`` default to :func:`pick_sweep_depth`'s jointly-chosen
+    temporal depth and panel height; passing either overrides it.
 
     Row counts that are not a panel multiple are zero-padded at the bottom
     to the next one (the pad rows carry zero coefficients so they stay
@@ -350,9 +373,14 @@ def fdtd_multistep_ttiled(Ez, Hx, Hy, ce, ch, coef, dt, fc, sx, sy,
     back to the ~12x-slower XLA path."""
     N, M = Ez.shape
     dtype = Ez.dtype
-    GH = max(8, -(-K // 8) * 8)
-    if PH is None:
-        PH = pick_panel_height(N, M, GH, jnp.dtype(dtype).itemsize)
+    if K is None:
+        K, auto_PH, GH = pick_sweep_depth(N, M, jnp.dtype(dtype).itemsize)
+        if PH is None:
+            PH = auto_PH
+    else:
+        GH = max(8, -(-K // 8) * 8)
+        if PH is None:
+            PH = pick_panel_height(N, M, GH, jnp.dtype(dtype).itemsize)
     pad = (-N) % PH
     BOT = PH - pad
     Nd = N + pad  # padded domain rows (panel multiple)
