@@ -342,7 +342,8 @@ class TiledSolver:
     one-shot solves, so sweeps over sources (datagen, optimization loops)
     should hold one TiledSolver and call :meth:`solve` per source.
 
-    Defaults (``inner_iters=2, outer_restart=60``) are tuned on a genuinely
+    Defaults (``inner_iters=2``, ``outer_restart=None`` -> min(60, ~6 GB
+    of FGMRES basis)) are tuned on a genuinely
     converging 1024^2 scene (1.5x block, 17 GHz — a ~58-wavelength domain):
     warm refined solve 10.7 s vs 22 s at the old (30, 4) — FGMRES subspace
     retention (restart) dominates; a deeper patch solve adds cost, not
@@ -359,7 +360,8 @@ class TiledSolver:
     def __init__(self, eps, mu, dx, dy, omega, *, patch_size: int = 100,
                  padding: int = 30, pml_thickness: int = 10,
                  global_pml_thickness: int = 40, dtype=jnp.complex64,
-                 inner_iters: int = 2, outer_restart: int = 60,
+                 inner_iters: int = 2,
+                 outer_restart: int | None = None,
                  _prebuilt=None):
         from fdtd2d_tpu.ops.fdm import fdm_preconditioner_for
         from fdtd2d_tpu.ops.splitc import make_operator_f64
@@ -372,6 +374,14 @@ class TiledSolver:
         self.dtype = dtype
         self.omega = float(omega)
         self.inner_iters = inner_iters
+        # FGMRES retains BOTH the Krylov and the preconditioned bases:
+        # (2*restart + 1) fields of N^2 * 8 B. At 4096^2 a restart of 60
+        # is 16.2 GB — past one v5e's HBM (measured OOM at 16.82/15.75
+        # GB). The default restart is therefore min(60, ~6 GB of basis);
+        # an explicit outer_restart is honored unclamped.
+        cells = int(np.prod(self.shape))
+        if outer_restart is None:
+            outer_restart = min(60, max(4, int(6e9 / (2 * cells * 8))))
         self.outer_restart = outer_restart
         real = jnp.finfo(dtype).dtype
 
@@ -503,7 +513,8 @@ def run_fdfd_tiled(eps, mu, dx, dy, omega, source, *,
                    relax: float = 0.5, tol: float = 1e-2,
                    mode: str = "krylov", solver_tol: float = 1e-4,
                    solver_maxiter: int = 300, global_pml_thickness: int = 40,
-                   inner_iters: int = 2, outer_restart: int = 60,
+                   inner_iters: int = 2,
+                   outer_restart: int | None = None,
                    dtype=jnp.complex64,
                    refine_target: float | None = 1e-6,
                    max_refine_rounds: int = 8,
