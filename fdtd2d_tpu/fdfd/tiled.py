@@ -35,9 +35,16 @@ outer iterations at 1024^2) but STALLS around 0.3 relative residual on
 scattering defeats both the uniform-medium FDM coarse level and 4-iteration
 patch solves. (Round 2's "5x-binary" convergence claims used a scene that
 thresholded a blurred standard normal at ~5 sigma and was accidentally
-near-uniform.) For hard media use the exact sublattice direct factorization
-(fdtd2d_tpu/fdfd/direct.py), which is contrast-independent; the tiled path
-remains the scalable option past the direct solver's factor-memory wall.
+near-uniform.) The boundary also scales with ELECTRICAL SIZE (k*L): at
+17 GHz a 4096^2 grid is a ~232-wavelength domain and the solve stalls
+near 6e-2 relative residual even at contrast 1.5 (300-2000 outer
+iterations, measured round 3; 1024^2 = 58 wavelengths converges in ~1 s
+warm) — indefinite Helmholtz iteration counts grow with k*L and the
+uniform-medium coarse level stops being spectrally close. For hard media
+use the exact sublattice direct factorization (fdtd2d_tpu/fdfd/direct.py),
+which is contrast-independent (checkpointed/compressed/sharded modes cover
+the factor-memory wall); a wavelength-robust coarse space (sweeping /
+multilevel) is the round-4 item for electrically-huge iterative solves.
 """
 
 from __future__ import annotations
