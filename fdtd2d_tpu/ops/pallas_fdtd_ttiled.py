@@ -291,14 +291,25 @@ def pick_panel_height(N: int, M: int, GH: int, dtype_bytes: int = 4,
     the bottom Mur band, S rows deep, must then land entirely inside the
     last panel's own rows). With multiple-of-8 candidates down to GH this
     admits every N >= 64 in practice; pathological N fall back to the XLA
-    path via the caller."""
-    for PH in _PH_CANDIDATES:
+    path via the caller.
+
+    Candidates larger than N are kept only as a last resort (smallest
+    such): an oversized panel zero-pads the whole domain up to PH rows —
+    returning 1024 for a 64-row grid would run 16x redundant compute."""
+    best_over = None
+    for PH in _PH_CANDIDATES:   # descending
         rem = N % PH
         if PH < max(GH, S) or (rem != 0 and rem < S):
             continue
         H = PH + 2 * GH
-        if (2 * (5 * H + 3 * PH) + 3 * H) * M * dtype_bytes <= budget:
-            return PH
+        if (2 * (5 * H + 3 * PH) + 3 * H) * M * dtype_bytes > budget:
+            continue
+        if PH > N:
+            best_over = PH      # overwritten as we descend: smallest fit
+            continue
+        return PH               # largest admissible PH <= N
+    if best_over is not None:
+        return best_over
     raise ValueError(f"no panel height fits: N={N}, M={M}")
 
 

@@ -121,3 +121,20 @@ def test_pick_panel_height_guards():
 
     assert resolve_backend("auto", (4104, 4096)) == "ttiled"
     assert resolve_backend("auto", (2056, 4096)) == "ttiled"
+
+
+def test_pick_sweep_depth_joint_choice():
+    """(K, PH) are chosen jointly: deepest K keeping halo compute 2K/PH
+    <= 25%. 4096^2 admits K=32/PH=256 (measured 75-79 vs 60-68 GCells/s
+    for K=16); 8192^2's VMEM-constrained PH=128 keeps K=16; tiny grids
+    fall back to K=16 with whatever panel fits."""
+    from fdtd2d_tpu.ops.pallas_fdtd_ttiled import pick_sweep_depth
+
+    K, PH, GH = pick_sweep_depth(4096, 4096)
+    assert (K, PH, GH) == (32, 256, 32)
+    K, PH, GH = pick_sweep_depth(8192, 8192)
+    assert K == 16 and PH >= GH and 2 * K / PH <= 0.25
+    K, PH, GH = pick_sweep_depth(64, 128)
+    # fallback: no candidate meets the cap on a 64-row grid; the panel must
+    # not be oversized (PH=1024 would zero-pad 16x redundant rows)
+    assert (K, PH) == (16, 64)

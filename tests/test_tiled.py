@@ -206,3 +206,20 @@ def test_tiled_stationary_modes_approximate(mode):
     err = np.max(np.abs(g - w)) / np.max(np.abs(w))
     assert deltas[-1] < deltas[0], f"not converging: {deltas}"
     assert err < 0.4, f"tiled field error vs global solve: {err:.3f}"
+
+
+def test_tiled_solver_restart_memory_default():
+    """The default FGMRES restart is memory-aware: (2r+1)*N^2*8 B of basis
+    clamps to ~6 GB (restart=60 at 4096^2 was a measured 16.8 GB OOM on a
+    15.75 GB chip); explicit values are honored unclamped."""
+    from fdtd2d_tpu.fdfd.tiled import TiledSolver
+
+    N = 160
+    eps, mu, _ = _scene(N)
+    s = TiledSolver(eps, mu, 1e-3, 1e-3, 17e9, patch_size=64, padding=24)
+    assert s.outer_restart == 60          # small grid: full default
+    # the formula at 4096^2 resolves to min(60, 6e9 // (2*4096^2*8)) = 22
+    assert min(60, max(4, int(6e9 / (2 * 4096**2 * 8)))) == 22
+    s2 = TiledSolver(eps, mu, 1e-3, 1e-3, 17e9, patch_size=64, padding=24,
+                     outer_restart=7)
+    assert s2.outer_restart == 7
