@@ -61,14 +61,21 @@ def pick_exact_panel_height(ln: int, M: int, GH: int, dtype_bytes: int = 4,
 
 
 def plan_sharded_ttiled(N: int, M: int, D: int):
-    """(K, GH, PH) admitting the sharded ttiled path, or None."""
+    """(K, GH, PH) admitting the sharded ttiled path, or None.
+
+    Deeper temporal tiles (K=32/24) are preferred when the local panel
+    keeps the redundant-halo compute 2K/PH <= 25% — the same knee the
+    single-device driver uses (ops/pallas_fdtd_ttiled.pick_sweep_depth,
+    measured +25% at 4096^2); they also mean fewer, larger ppermute
+    exchanges per step (same rows/step, fewer messages). K=16/8 remain
+    the unconditional fallbacks."""
     if N % D or M < 128:
         return None
     ln = N // D
-    for K in (16, 8):
+    for K in (32, 24, 16, 8):
         GH = max(8, -(-K // 8) * 8)
         PH = pick_exact_panel_height(ln, M, GH)
-        if PH is not None:
+        if PH is not None and (K <= 16 or 2 * K / PH <= 0.25):
             return K, GH, PH
     return None
 
