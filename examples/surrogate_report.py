@@ -36,7 +36,9 @@ from fdtd2d_tpu.viz.plots import plot_ref_v_inference, plot_training_curves
 def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
          pred_type="epsilon"):
     os.makedirs(out_dir, exist_ok=True)
-    raw = np.load(data_path)
+    from fdtd2d_tpu.models.datagen import load_dataset
+
+    raw = load_dataset(data_path)  # plain npz, compact npz, or shard dir
     hold = {k: np.asarray(raw[k][-holdout:]) for k in
             ("eps", "mu", "src", "omega", "Ez")}
 

@@ -141,14 +141,25 @@ def cmd_invdes(args):
 def cmd_datagen(args):
     import jax
 
-    from fdtd2d_tpu.models.datagen import generate_dataset
+    from fdtd2d_tpu.models.datagen import (generate_dataset,
+                                           generate_dataset_shards,
+                                           save_dataset)
 
+    if args.shard_size:
+        # resumable sharded run: --out names a DIRECTORY of shard_*.npz;
+        # train/report accept it directly (models.datagen.load_dataset)
+        n = generate_dataset_shards(
+            jax.random.PRNGKey(args.seed), args.samples,
+            (args.size, args.size), args.out, shard_size=args.shard_size,
+            batch=args.batch, compact=args.compact, pml_thickness=args.pml)
+        print(f"wrote {n} new shard(s) to {args.out}/")
+        return
     data = generate_dataset(jax.random.PRNGKey(args.seed), args.samples,
                             (args.size, args.size), batch=args.batch,
                             pml_thickness=args.pml)
     worst = float(np.max(np.asarray(data["residuals"])))
     print(f"{args.samples} samples; worst solve residual {worst:.2e}")
-    np.savez(args.out, **{k: np.asarray(v) for k, v in data.items()})
+    save_dataset(args.out, data, compact=args.compact)
     print(f"wrote {args.out}")
 
 
@@ -160,7 +171,9 @@ def cmd_train(args):
 
     from fdtd2d_tpu.models.train import TrainConfig, train
 
-    raw = np.load(args.data)
+    from fdtd2d_tpu.models.datagen import load_dataset
+
+    raw = load_dataset(args.data)  # plain npz, compact npz, or shard dir
     keys = ("eps", "mu", "src", "omega", "Ez")
     if args.stream_chunk or args.device_cache:
         data = {k: raw[k] for k in keys}    # host numpy; train() transfers
@@ -339,7 +352,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--batch", type=int, default=64)
     f.add_argument("--pml", type=int, default=40)
     f.add_argument("--seed", type=int, default=0)
-    f.add_argument("--out", type=str, default="data.npz")
+    f.add_argument("--out", type=str, default="data.npz",
+                   help="output npz; a DIRECTORY of shards with --shard-size")
+    f.add_argument("--compact", action="store_true",
+                   help="mask-encoded npz (~3x smaller; eps/src are binary "
+                        "and mu is constant, so the encoding is lossless)")
+    f.add_argument("--shard-size", type=int, default=0,
+                   help="write resumable shard_*.npz files of this many "
+                        "samples to --out (a directory) instead of one npz")
     f.set_defaults(fn=cmd_datagen)
 
     f = sub.add_parser("train", help="diffusion surrogate training")

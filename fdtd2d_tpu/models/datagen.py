@@ -257,3 +257,121 @@ def generate_dataset(key, num_samples: int, shape: Tuple[int, int],
         n += b
     cat = np.concatenate if to_host else jnp.concatenate
     return jax.tree.map(lambda *xs: cat(xs), *outs)
+
+
+# ---------------------------------------------------------------------------
+# Dataset storage: compact npz + resumable shards
+# ---------------------------------------------------------------------------
+#
+# A 50k-scene 256^2 dataset is ~52 GB as five float32 arrays. The scene
+# channels are structurally redundant: eps is BINARY (exactly EPS_LO or
+# EPS_HI, random_permittivity above), src is a 0/1 mask, and mu is the
+# constant MU_REF everywhere (reference python-src/diffusion_training.py:54-146
+# draws only eps/src/omega). Compact storage keeps uint8 masks for eps/src,
+# drops mu, and stores only the label Ez (float32 — field norms span orders
+# of magnitude, so float16 would clip) — ~17 GB for 50k scenes.
+
+_COMPACT_VERSION = 1
+
+
+def save_dataset(path: str, data: dict, compact: bool = True) -> None:
+    """Write a dataset npz; ``compact=True`` uses the mask encoding above.
+
+    Atomic: writes to ``<path>.tmp.npz`` then renames, so an interrupted
+    save never leaves a truncated npz behind.
+    """
+    import os
+
+    arrs = {k: np.asarray(v) for k, v in data.items()}
+    if compact:
+        mid = np.float32(0.5 * (EPS_LO + EPS_HI))
+        out = {
+            "eps_mask": (arrs["eps"] > mid).astype(np.uint8),
+            "src_mask": (arrs["src"] != 0).astype(np.uint8),
+            "omega": arrs["omega"].astype(np.float32),
+            "Ez": arrs["Ez"].astype(np.float32),
+            "compact_version": np.int32(_COMPACT_VERSION),
+        }
+        if "residuals" in arrs:
+            out["residuals"] = arrs["residuals"].astype(np.float32)
+        arrs = out
+    if not path.endswith(".npz"):
+        path += ".npz"
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrs)
+    os.replace(tmp, path)
+
+
+def _decode_compact(raw: dict) -> dict:
+    mask = np.asarray(raw["eps_mask"], bool)
+    out = {
+        "eps": np.where(mask, np.float32(EPS_HI), np.float32(EPS_LO)),
+        # zero-copy constant view; chunked/batched indexing materializes
+        # only the slices it touches
+        "mu": np.broadcast_to(np.float32(MU_REF), mask.shape),
+        "src": np.asarray(raw["src_mask"], np.float32),
+        "omega": np.asarray(raw["omega"]),
+        "Ez": np.asarray(raw["Ez"]),
+    }
+    if "residuals" in raw:
+        out["residuals"] = np.asarray(raw["residuals"])
+    return out
+
+
+def load_dataset(path: str) -> dict:
+    """Load a dataset from a plain npz, a compact npz, or a DIRECTORY of
+    ``shard_*.npz`` files written by :func:`generate_dataset_shards`
+    (shards are concatenated in filename order)."""
+    import glob
+    import os
+
+    if os.path.isdir(path):
+        shards = sorted(glob.glob(os.path.join(path, "shard_*.npz")))
+        if not shards:
+            raise FileNotFoundError(f"no shard_*.npz files in {path}")
+        parts = [np.load(p) for p in shards]
+        keys = [k for k in parts[0].files if k != "compact_version"]
+        raw = {k: (np.concatenate([p[k] for p in parts])
+                   if parts[0][k].ndim else parts[0][k][()])
+               for k in keys}
+        if "compact_version" in parts[0].files:
+            raw["compact_version"] = parts[0]["compact_version"][()]
+    else:
+        with np.load(path) as f:
+            raw = {k: f[k] for k in f.files}
+    if "eps_mask" in raw:
+        return _decode_compact(raw)
+    return raw
+
+
+def generate_dataset_shards(key, num_samples: int, shape: Tuple[int, int],
+                            out_dir: str, shard_size: int = 2048,
+                            batch: int = 32, compact: bool = True,
+                            verbose: bool = True, **kwargs) -> int:
+    """Resumable sharded datagen: writes ``shard_%05d.npz`` under
+    ``out_dir``, skipping shards that already exist, so an interrupted run
+    (TPU tunnel flaps, container restarts) resumes where it left off.
+
+    Each shard's RNG key is ``fold_in(key, shard_index)`` — the dataset is
+    reproducible regardless of which shards were present. Returns the
+    number of shards written this call.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = -(-num_samples // shard_size)
+    written = 0
+    for i in range(n_shards):
+        path = os.path.join(out_dir, f"shard_{i:05d}.npz")
+        if os.path.exists(path):
+            continue
+        n_i = min(shard_size, num_samples - i * shard_size)
+        data = generate_dataset(jax.random.fold_in(key, i), n_i, shape,
+                                batch=batch, to_host=True, **kwargs)
+        save_dataset(path, data, compact=compact)
+        written += 1
+        if verbose:
+            worst = float(np.max(np.asarray(data["residuals"])))
+            print(f"shard {i + 1}/{n_shards}: {n_i} samples, "
+                  f"worst residual {worst:.2e}", flush=True)
+    return written

@@ -110,6 +110,53 @@ def test_generate_dataset_host_accumulation():
     assert np.all(np.isfinite(data["Ez"]))
 
 
+def test_dataset_compact_roundtrip(tmp_path):
+    """Compact (mask-encoded) npz storage is LOSSLESS for datagen output:
+    eps is binary, src is a 0/1 mask, mu is constant (datagen.py docstring;
+    reference python-src/diffusion_training.py:54-146 draws only
+    eps/src/omega)."""
+    from fdtd2d_tpu.models.datagen import (generate_dataset, load_dataset,
+                                           save_dataset)
+
+    shape = (48, 48)
+    M = default_preconditioner(shape, pml_thickness=8)
+    data = generate_dataset(KEY, 4, shape, batch=4, pml_thickness=8,
+                            maxiter=100, M=M, to_host=True)
+    p = str(tmp_path / "compact.npz")
+    save_dataset(p, data, compact=True)
+    back = load_dataset(p)
+    for k in ("eps", "mu", "src", "omega", "Ez", "residuals"):
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(data[k]), err_msg=k)
+    # the compact file is materially smaller than the plain one
+    import os
+
+    p2 = str(tmp_path / "plain.npz")
+    save_dataset(p2, data, compact=False)
+    assert os.path.getsize(p) < 0.6 * os.path.getsize(p2)
+
+
+def test_dataset_shards_resume(tmp_path):
+    """Sharded datagen skips existing shards (resumable) and load_dataset
+    concatenates a shard directory into the standard key set."""
+    from fdtd2d_tpu.models.datagen import (generate_dataset_shards,
+                                           load_dataset)
+
+    d = str(tmp_path / "shards")
+    kw = dict(shard_size=4, batch=4, pml_thickness=8, maxiter=100)
+    n1 = generate_dataset_shards(KEY, 10, (48, 48), d, **kw)
+    assert n1 == 3  # 4 + 4 + 2
+    n2 = generate_dataset_shards(KEY, 10, (48, 48), d, **kw)
+    assert n2 == 0  # all shards exist -> nothing regenerated
+    data = load_dataset(d)
+    assert data["Ez"].shape == (10, 48, 48)
+    assert data["eps"].shape == (10, 48, 48)
+    assert np.all(np.isfinite(data["Ez"]))
+    # shard RNG is fold_in(key, i): shard 1's first sample differs from
+    # shard 0's first sample
+    assert not np.array_equal(data["Ez"][0], data["Ez"][4])
+
+
 @pytest.mark.slow
 def test_train_streaming_chunks():
     """stream_chunk path: host data, chunked transfer, same API surface."""
