@@ -14,8 +14,12 @@ chip). Two past-the-wall modes:
   ~9 GB at 2048^2 with rank 20/leaf 128); repeat solves stay two batched-
   matmul scans — no recursion re-runs — and f64 refinement restores the
   exact residual.
+- hps: HPS nested-dissection factorization (fdfd/hps.py) — O(N^2 log N)
+  stored factors and LOG-DEPTH batched-matmul solves instead of the
+  block-Thomas modes' N/2 sequential scan steps.
 
-Usage: python examples/direct_large.py [N] [stride] [checkpointed|compressed]
+Usage: python examples/direct_large.py [N] [stride]
+       [checkpointed|compressed|hps]
 """
 import sys
 import time
@@ -49,6 +53,10 @@ def main(N=2048, stride=64, mode="checkpointed"):
         print(f"N={N}: HODLR-compressed W store "
               f"(store-all would be {store_all:.1f} GB)")
         kwargs = dict(compressed=True)
+    elif mode == "hps":
+        print(f"N={N}: HPS nested-dissection factors "
+              f"(store-all would be {store_all:.1f} GB)")
+        kwargs = dict(hps=True)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
@@ -58,6 +66,9 @@ def main(N=2048, stride=64, mode="checkpointed"):
     if mode == "compressed":
         print(f"compressed store: {solver.compressed_bytes / 1e9:.2f} GB "
               f"({store_all / (solver.compressed_bytes / 1e9):.1f}x smaller)")
+    elif mode == "hps":
+        print(f"HPS factor store: {solver.hps_bytes / 1e9:.2f} GB "
+              f"({store_all / (solver.hps_bytes / 1e9):.1f}x smaller)")
 
     t0 = time.perf_counter()
     x, trace = solver.solve(src, refine_target=1e-8, verbose=True)

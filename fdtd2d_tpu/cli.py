@@ -173,9 +173,13 @@ def cmd_train(args):
 
     from fdtd2d_tpu.models.datagen import load_dataset
 
-    raw = load_dataset(args.data)  # plain npz, compact npz, or shard dir
+    compact = args.device_cache == "compact"
+    # plain npz, compact npz, or shard dir; compact cache keeps raw masks
+    raw = load_dataset(args.data, decode=not compact)
     keys = ("eps", "mu", "src", "omega", "Ez")
-    if args.stream_chunk or args.device_cache:
+    if compact:
+        data = raw                          # uint8 masks; train() decodes
+    elif args.stream_chunk or args.device_cache:
         data = {k: raw[k] for k in keys}    # host numpy; train() transfers
     else:
         data = {k: jnp.asarray(raw[k]) for k in keys}
@@ -230,7 +234,8 @@ def cmd_train(args):
         eval_every=args.eval_every, eval_callback=eval_callback,
         stream_chunk=args.stream_chunk, holdout=args.holdout,
         holdout_callback=holdout_callback,
-        device_dtype=(jnp.float16 if args.device_cache else None),
+        device_dtype=("compact" if compact
+                      else jnp.float16 if args.device_cache else None),
         callback=lambda e, l, s: print(f"epoch {e}: loss {l:.6f}", flush=True))
     print(f"final loss {losses[-1]:.6f}")
 
@@ -378,10 +383,14 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--holdout", type=int, default=0,
                    help="withhold the last N samples from training and report "
                         "per-eval-epoch relative-L2 of predicted vs true Ez")
-    f.add_argument("--device-cache", action="store_true",
-                   help="keep the whole dataset on device, inputs in f16 "
-                        "(exact for binary/mask channels) — epochs run at "
-                        "compute speed with no per-epoch host streaming")
+    f.add_argument("--device-cache", nargs="?", const="f16", default=None,
+                   choices=("f16", "compact"),
+                   help="keep the whole dataset on device — epochs run at "
+                        "compute speed with no per-epoch host streaming. "
+                        "'f16' (the bare-flag default) stores normalized "
+                        "inputs in float16; 'compact' stores uint8 masks + "
+                        "f16 labels (4 B/px: 50k scenes at 256² in 16 GB "
+                        "HBM) and requires compact-stored data")
     f.add_argument("--prediction-type", choices=("epsilon", "x0", "regression"),
                    default="epsilon",
                    help="model target: the added noise (reference recipe) or "

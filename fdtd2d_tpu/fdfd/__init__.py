@@ -5,6 +5,7 @@ from fdtd2d_tpu.fdfd.direct import (DirectSolver, factor,
                                     factor_checkpointed, solve_checkpointed,
                                     solve_direct, solve_factored)
 from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled, TiledSolver
+from fdtd2d_tpu.fdfd.hps import hps_factor, hps_solve
 from fdtd2d_tpu.fdfd.refine import refine, RefineResult
 
 __all__ = [
@@ -20,6 +21,8 @@ __all__ = [
     "solve_factored",
     "factor_checkpointed",
     "solve_checkpointed",
+    "hps_factor",
+    "hps_solve",
     "refine",
     "RefineResult",
     "shifted_laplacian_preconditioner",

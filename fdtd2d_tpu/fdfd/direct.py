@@ -369,14 +369,15 @@ class DirectSolver:
     def __init__(self, eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
                  sigma_max: float = 2.0, m: int = 3, dtype=jnp.complex64,
                  checkpointed: bool = False, stride: int = 32,
-                 compressed: bool = False, rank: int = 20, leaf: int = 128):
+                 compressed: bool = False, rank: int = 20, leaf: int = 128,
+                 hps: bool = False, hps_leaf: int = 8):
         import numpy as np
 
         from fdtd2d_tpu.ops.helmholtz import make_operator
         from fdtd2d_tpu.ops.splitc import make_operator_f64
 
-        if checkpointed and compressed:
-            raise ValueError("choose one of checkpointed/compressed")
+        if sum((checkpointed, compressed, hps)) > 1:
+            raise ValueError("choose one of checkpointed/compressed/hps")
         self.omega = float(omega)
         self.dtype = dtype
         self.op = make_operator(eps, mu, dx, dy, self.omega,
@@ -397,6 +398,15 @@ class DirectSolver:
             # element-growth diagnostic
             wmax = max(float(jnp.max(jnp.abs(s.rows["D"])))
                        for s in factors.subs)
+        elif hps:
+            # O(N^2 log N)-memory nested-dissection mode with log-depth
+            # batched solves (fdfd/hps.py); power-of-two grids only
+            from fdtd2d_tpu.fdfd import hps as _hps
+
+            factors = _hps.hps_factor(self.op, m=hps_leaf)
+            self._solve_fn = lambda r: _hps.hps_solve(factors, r)
+            self.hps_bytes = _hps.factor_bytes(factors)
+            wmax = max(float(jnp.max(jnp.abs(s.Yroot))) for s in factors.subs)
         elif checkpointed:
             # past-the-memory-wall mode (2048^2+): stores W every `stride`
             # rows; each solve re-runs the inversion recursion twice

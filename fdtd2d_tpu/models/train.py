@@ -144,7 +144,8 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
 def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
                 perm, *, batch_size: int, snr_gamma: float = 5.0,
                 t_gamma: float = 1.3, prediction_type: str = "epsilon",
-                t_sampling: str = "snr", weighting: str = "snr_gamma"):
+                t_sampling: str = "snr", weighting: str = "snr_gamma",
+                affine: Optional[dict] = None, const: Optional[dict] = None):
     """One full epoch as a single device program (lax.scan over batches) —
     per-batch host dispatch dominates wall-clock on a tunneled TPU.
 
@@ -157,14 +158,24 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
             f"batch_size={batch_size} exceeds dataset size {n}; an epoch "
             "would contain zero batches (mean over zero losses is NaN)")
     nb = n // batch_size
+    affine = affine or {}
+    const = const or {}
+    hw = data["Ez"].shape[1:]
 
     def body(carry, k):
         state, key = carry
         key, k_step = jax.random.split(key)
         idx = jax.lax.dynamic_slice(perm, (k * batch_size,), (batch_size,))
-        # astype: data may live on device in float16 (the compact cache for
-        # datasets near HBM capacity); the model runs f32
+        # astype: data may live on device in float16 or uint8 (the compact
+        # cache for datasets near HBM capacity); the model runs f32.
+        # ``affine`` decodes binary uint8 masks back to their two values;
+        # ``const`` materializes constant channels (e.g. uniform mu) that
+        # are not stored at all.
         batch = {name: v[idx].astype(jnp.float32) for name, v in data.items()}
+        for name, (sc, off) in affine.items():
+            batch[name] = batch[name] * sc + off
+        for name, c in const.items():
+            batch[name] = jnp.full((batch_size,) + hw, c, jnp.float32)
         state, loss = train_step(state, schedule, k_step, batch,
                                  snr_gamma=snr_gamma, t_gamma=t_gamma,
                                  prediction_type=prediction_type,
@@ -444,6 +455,18 @@ def train(key, data: dict, config: TrainConfig,
     cut that fits the 10k x 256^2 dataset in HBM, so epochs run at pure
     compute speed instead of re-streaming ~13 GB through this environment's
     slow host<->device tunnel every epoch.
+
+    ``device_dtype="compact"``: the 4-bytes-per-pixel HBM cache for the
+    datagen distribution (reference python-src/diffusion_training.py:54-146
+    draws binary eps, a 0/1 src mask, constant mu). ``data`` must be the
+    RAW compact dict from ``load_dataset(path, decode=False)``
+    (eps_mask/src_mask uint8, omega/Ez float32). On device: eps/src stay
+    uint8, Ez is stored float16-normalized (unit std; |values| ~O(1), well
+    inside f16 range), mu is never stored — train_epoch decodes masks with
+    a per-channel affine and materializes mu per batch. 50k scenes at 256²
+    = ~13.4 GB resident on a 16 GB chip, where the f32/f16 paths need
+    52/33 GB — the difference between compute-speed epochs and
+    re-streaming the dataset every epoch.
     """
     schedule = DDPMSchedule.create(config.num_train_timesteps)
     shape = data["Ez"].shape[1:]
@@ -455,14 +478,28 @@ def train(key, data: dict, config: TrainConfig,
     if config.ckpt_dir:
         state, start_epoch, ckpt_scales = restore_checkpoint(config.ckpt_dir, state)
 
-    raw = {k: v for k, v in data.items() if k != "residuals"}
+    compact = isinstance(device_dtype, str) and device_dtype == "compact"
+    raw = {k: v for k, v in data.items()
+           if k not in ("residuals", "compact_version")}
+    if compact and "eps_mask" not in raw:
+        raise ValueError(
+            'device_dtype="compact" needs the RAW compact dict — load with '
+            "load_dataset(path, decode=False)")
+    if compact and stream_chunk:
+        raise ValueError("stream_chunk and the compact device cache are "
+                         "alternatives; choose one")
     holdout_set = None
     if holdout > 0:
         if holdout >= data["Ez"].shape[0]:
             raise ValueError(f"holdout={holdout} swallows the whole dataset")
         holdout_set = {k: np.asarray(v[-holdout:]) for k, v in raw.items()}
+        if "eps_mask" in holdout_set:
+            from fdtd2d_tpu.models.datagen import _decode_compact
+
+            holdout_set = _decode_compact(holdout_set)
         raw = {k: v[:-holdout] for k, v in raw.items()}
     n = raw["Ez"].shape[0]
+    affine = const = None
     if stream_chunk:
         if stream_chunk % config.batch_size:
             raise ValueError(
@@ -482,6 +519,49 @@ def train(key, data: dict, config: TrainConfig,
         # leak via x64 promotion breaks the train_epoch scan carry)
         scales = jax.tree.map(lambda v: v.astype(jnp.float32), scales)
         arrays = None  # host-resident; chunks normalized after transfer
+    elif compact:
+        from fdtd2d_tpu.models import datagen as _dg
+
+        if ckpt_scales is not None:
+            scales = ckpt_scales
+        else:
+            # all statistics from the masks' structure — never decode the
+            # full f32 channels on host. Chunked two-pass-free moments in
+            # f64 (single host core; a full-size f64 temp would be ~27 GB).
+            frac_hi = float(np.mean(raw["eps_mask"], dtype=np.float64))
+            ez = np.asarray(raw["Ez"])
+            cn = max(1, ez.shape[0] // 64)
+            tot = ez.size
+            s1 = s2 = 0.0
+            for c0 in range(0, ez.shape[0], cn):
+                c = np.asarray(ez[c0:c0 + cn], np.float64)
+                s1 += float(np.sum(c))
+                s2 += float(np.sum(c * c))
+            std = float(np.sqrt(max(s2 / tot - (s1 / tot) ** 2, 0.0)))
+            scales = {
+                "eps": _dg.EPS_LO + frac_hi * (_dg.EPS_HI - _dg.EPS_LO),
+                "mu": _dg.MU_REF,
+                "Ez": std + 1e-30,
+                "omega": 1e10,
+            }
+        scales = jax.tree.map(lambda v: jnp.asarray(v, jnp.float32), scales)
+        lo = float(_dg.EPS_LO / float(scales["eps"]))
+        hi = float(_dg.EPS_HI / float(scales["eps"]))
+        affine = {"eps": (hi - lo, lo)}   # src decodes to its raw 0/1 values
+        const = {"mu": float(_dg.MU_REF / float(scales["mu"]))}
+        ez16 = np.empty(raw["Ez"].shape, np.float16)
+        inv = np.float32(1.0 / float(scales["Ez"]))
+        for c0 in range(0, ez16.shape[0], 4096):
+            ez16[c0:c0 + 4096] = np.asarray(raw["Ez"][c0:c0 + 4096]) * inv
+        arrays = {
+            "eps": jnp.asarray(np.ascontiguousarray(raw["eps_mask"])),
+            "src": jnp.asarray(np.ascontiguousarray(raw["src_mask"])),
+            "omega": jnp.asarray(
+                np.asarray(raw["omega"], np.float32)
+                / np.float32(float(scales["omega"]))),
+            "Ez": jnp.asarray(ez16),
+        }
+        del ez16
     elif device_dtype is not None:
         scales = ckpt_scales or (compute_scales_host(raw)
                                  if isinstance(raw["Ez"], np.ndarray)
@@ -506,6 +586,11 @@ def train(key, data: dict, config: TrainConfig,
     eval_sample = None
     if eval_every > 0 and eval_callback is not None:
         src_set = holdout_set if holdout_set is not None else raw
+        if "eps_mask" in src_set:
+            from fdtd2d_tpu.models.datagen import _decode_compact
+
+            src_set = _decode_compact(
+                {k: np.asarray(v[:1]) for k, v in src_set.items()})
         eval_sample = {k: np.asarray(src_set[k][0]) for k in
                        ("eps", "mu", "src", "omega", "Ez")}
 
@@ -542,7 +627,8 @@ def train(key, data: dict, config: TrainConfig,
                                            t_gamma=config.timestep_gamma,
                                            prediction_type=config.prediction_type,
                                            t_sampling=config.t_sampling,
-                                           weighting=config.loss_weighting)
+                                           weighting=config.loss_weighting,
+                                           affine=affine, const=const)
         losses.append(float(mean_loss))
         if callback:
             callback(epoch, losses[-1], state)

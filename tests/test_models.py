@@ -275,6 +275,61 @@ def test_train_device_cache_f16():
     assert len(losses) == 2 and all(np.isfinite(losses))
 
 
+def test_train_device_cache_compact(tmp_path):
+    """device_dtype="compact": uint8 masks + f16 labels on device, mu never
+    stored; the affine/const decode in train_epoch reproduces the normalized
+    channels (exactly for the binary eps/src, to f16 rounding for Ez);
+    holdout metric and eval panel run on decoded physical-unit samples."""
+    from fdtd2d_tpu.models import datagen as dg
+    from fdtd2d_tpu.models.train import TrainConfig, train
+
+    n, H = 12, 32
+    rng = np.random.default_rng(0)
+    mask = rng.random((n, H, H)) > 0.5
+    data = {
+        "eps": np.where(mask, np.float32(dg.EPS_HI), np.float32(dg.EPS_LO)),
+        "mu": np.full((n, H, H), dg.MU_REF, np.float32),
+        "src": np.zeros((n, H, H), np.float32),
+        "omega": np.full((n,), 2.4e10, np.float32),
+        "Ez": rng.standard_normal((n, H, H)).astype(np.float32),
+    }
+    data["src"][:, H // 2, H // 2] = 1.0
+    p = str(tmp_path / "c.npz")
+    dg.save_dataset(p, data, compact=True)
+    raw = dg.load_dataset(p, decode=False)
+    assert raw["eps_mask"].dtype == np.uint8 and "compact_version" not in raw
+
+    cfg = TrainConfig(batch_size=4, num_epochs=2, num_train_timesteps=20)
+    seen, panels = [], []
+    state, losses, scales = train(
+        jax.random.PRNGKey(0), raw, cfg, device_dtype="compact",
+        holdout=4, eval_every=1,
+        eval_callback=lambda e, pr, t: panels.append((pr.shape, t.shape)),
+        holdout_callback=lambda e, rel: seen.append(rel),
+        state=create_state(jax.random.PRNGKey(2), (H, H), cfg,
+                           model=_tiny_model()))
+    assert len(losses) == 2 and all(np.isfinite(losses))
+    assert seen and all(r.shape == (4,) and np.all(np.isfinite(r))
+                        for r in seen)
+    assert panels and panels[0] == ((H, H), (H, H))
+    # scales come from the masks' structure and must equal the decoded
+    # training split's statistics
+    tr = slice(None, -4)
+    assert np.isclose(float(scales["eps"]), np.mean(data["eps"][tr]),
+                      rtol=1e-5)
+    assert np.isclose(float(scales["Ez"]),
+                      np.std(np.asarray(data["Ez"][tr], np.float64)),
+                      rtol=1e-4)
+    assert float(scales["mu"]) == np.float32(dg.MU_REF)
+
+    # guardrails: decoded data and stream_chunk are both rejected
+    with pytest.raises(ValueError, match="decode=False"):
+        train(jax.random.PRNGKey(0), data, cfg, device_dtype="compact")
+    with pytest.raises(ValueError, match="alternatives"):
+        train(jax.random.PRNGKey(0), raw, cfg, device_dtype="compact",
+              stream_chunk=4)
+
+
 def test_loss_weight_modes():
     """loss_weight: reference parity for snr_gamma/epsilon; min-SNR and
     uniform cover all timesteps (the property the reference recipe lacks —
