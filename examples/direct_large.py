@@ -16,7 +16,9 @@ chip). Two past-the-wall modes:
   exact residual.
 - hps: HPS nested-dissection factorization (fdfd/hps.py) — O(N^2 log N)
   stored factors and LOG-DEPTH batched-matmul solves instead of the
-  block-Thomas modes' N/2 sequential scan steps.
+  block-Thomas modes' N/2 sequential scan steps. Accuracy boundary:
+  c64 interface conditioning caps this mode at <=1024^2 on hard scenes
+  (measured — see fdfd/hps.py); at 2048^2+ use checkpointed/compressed.
 
 Usage: python examples/direct_large.py [N] [stride]
        [checkpointed|compressed|hps]

@@ -53,7 +53,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -406,6 +406,10 @@ class DirectSolver:
             factors = _hps.hps_factor(self.op, m=hps_leaf)
             self._solve_fn = lambda r: _hps.hps_solve(factors, r)
             self.hps_bytes = _hps.factor_bytes(factors)
+            # the c64 HPS solve contracts ~0.5/round at 1024^2 (near-
+            # resonant interface Schur systems, see fdfd/hps.py) — it
+            # needs ~21 refinement rounds where block-Thomas needs 1-2
+            self._default_refine_rounds = 40
             wmax = max(float(jnp.max(jnp.abs(s.Yroot))) for s in factors.subs)
         elif checkpointed:
             # past-the-memory-wall mode (2048^2+): stores W every `stride`
@@ -427,12 +431,16 @@ class DirectSolver:
                                       self.omega, pml_thickness, sigma_max, m)
 
     def solve(self, source, *, rhs_scale=None, refine_target: float = 1e-6,
-              max_refine_rounds: int = 8, return_split: bool = False,
-              verbose: bool = False):
+              max_refine_rounds: Optional[int] = None,
+              return_split: bool = False, verbose: bool = False):
         """Returns ``(field, trace)`` like :meth:`TiledSolver.solve` — the
         trace holds the f64 iterate's true residual per refinement round
         plus a final entry for the returned downcast array (omitted with
-        ``return_split=True``, which returns the f64 Split solution)."""
+        ``return_split=True``, which returns the f64 Split solution).
+
+        ``max_refine_rounds`` defaults per factor mode: 8 for the block-
+        Thomas modes (typical contraction ~1e-4/round), 40 for ``hps``
+        (contraction ~0.5/round at 1024^2 — see fdfd/hps.py)."""
         import numpy as np
 
         from fdtd2d_tpu.fdfd.refine import refine, true_relative_residual
@@ -441,7 +449,10 @@ class DirectSolver:
         scale = (-1j * self.omega) if rhs_scale is None else complex(rhs_scale)
         b64 = split_from_numpy(np.asarray(source, np.complex128) * scale)
         out = refine(self.op64, b64, self._solve_fn,
-                     target=refine_target, max_rounds=max_refine_rounds,
+                     target=refine_target,
+                     max_rounds=(max_refine_rounds if max_refine_rounds
+                                 is not None else
+                                 getattr(self, '_default_refine_rounds', 8)),
                      inner_dtype=self.dtype)
         if float(out.relative_residual) > refine_target:
             # refine stalled: the pivotless c64 factorization did not resolve

@@ -36,9 +36,29 @@ batched dense matmuls instead of N sequential scan steps.
 
 Like every c64 factorization in this package, the solve is wrapped in
 split-complex f64 iterative refinement (fdfd/refine.py) by
-:class:`HPSSolver`; the symmetrized assembly differs from the true
+``DirectSolver(hps=True)``; the symmetrized assembly differs from the true
 operator by ~1e-7 relative (f32 rounding), which refinement absorbs the
 same way it absorbs the factorization's own rounding.
+
+Measured accuracy boundary (hard 50%-duty binary 5x scene, 17 GHz,
+m=8). The factorization is EXACT in c128 (rel res 9e-14 at 256^2, 8e-13
+at 512^2, CPU) but its raw c64 error grows ~10x per grid doubling
+(5e-5 at 256^2, 5e-4 at 512^2): the interface Schur systems of the
+indefinite Helmholtz operator are near-resonant (zero-Dirichlet boxes —
+same mechanism as the Schwarz-patch resonance noted in fdfd/tiled.py),
+so each of the ~2 log2(N/2m) merge levels amplifies f32 rounding.
+Refinement recovers full accuracy THROUGH 1024^2 (chip-measured: 1.6e-9
+in 3 rounds at 256^2, 3.2e-11 in 4 at 512^2, 8.5e-9 in 21 rounds /
+4.9 s warm at 1024^2 — contraction ~0.5/round there, whence
+DirectSolver's mode-aware max_refine_rounds default of 40); at 2048^2
+the raw c64 error reaches O(10) and refinement cannot contract — use
+the HODLR-compressed or checkpointed block-Thomas modes there
+(fdfd/direct.py, fdfd/compressed.py). Diagonal equilibration does not
+help (measured 1.2e-3 vs 5.2e-4 at 512^2); an f64 factor path is not
+viable on this backend (f64 matmul measured 0.08 TF/s vs 1.8
+f32-HIGHEST). Within its boundary the mode's value is MEMORY: the
+smallest exact-factor store of any mode (3.2x smaller than stored-W at
+1024^2, 1.36 vs 4.3 GB) with log-depth batched solves.
 
 All index bookkeeping is precomputed in numpy (:func:`build_plan`) as
 STATIC per-level gather/scatter maps — boxes at a level are congruent, so
@@ -240,6 +260,13 @@ def _gidx(origins, local_flat, ncols, shape):
             + (origins[:, 1:2] + lc[None, :]))
 
 
+def _onehot(idx: np.ndarray, width: int) -> np.ndarray:
+    """(k, width) float32 one-hot rows for static scatter-as-matmul."""
+    P = np.zeros((len(idx), width), np.float32)
+    P[np.arange(len(idx)), idx] = 1.0
+    return P
+
+
 def hps_factor_sub(d, Ecol, Erow, plan: HPSPlan) -> SubHPSFactors:
     """Factor one sublattice 5-point system. d/Ecol/Erow: (nr, nc) complex
     coefficient arrays (diagonal; column-edge; row-edge values)."""
@@ -252,8 +279,14 @@ def hps_factor_sub(d, Ecol, Erow, plan: HPSPlan) -> SubHPSFactors:
     vals = jnp.where(lf.ent_src[None, :] == 0, srcs[0][gi],
                      jnp.where(lf.ent_src[None, :] == 1, srcs[1][gi],
                                srcs[2][gi]))
-    A = jnp.zeros((lf.n_boxes, m * m, m * m), d.dtype)
-    A = A.at[:, lf.ent_r, lf.ent_c].add(vals)
+    # scatter-as-matmul: a batched scatter-add over 10k+ boxes overflows
+    # Mosaic's 16 MB scoped VMEM at 2048^2 (measured); the entry positions
+    # are static and unique, so assembly is one exact one-hot matmul
+    # (HIGHEST precision: bf16x3 passes reproduce f32 products with 1.0
+    # exactly) — MXU work instead of a scatter
+    P_leaf = jnp.asarray(_onehot(lf.ent_r * (m * m) + lf.ent_c, m ** 4),
+                         d.dtype)
+    A = _mm(vals, P_leaf).reshape(lf.n_boxes, m * m, m * m)
     iI, iR = lf.idx_I, lf.idx_R
     A_II = A[:, iI[:, None], iI[None, :]]
     A_IR = A[:, iI[:, None], iR[None, :]]
@@ -272,8 +305,16 @@ def hps_factor_sub(d, Ecol, Erow, plan: HPSPlan) -> SubHPSFactors:
                          nc_g, mp.parent_shape)]
         Acat = jnp.zeros((mp.n_parents, 2 * rho, 2 * rho), d.dtype)
         Acat = Acat.at[:, :rho, :rho].set(S1).at[:, rho:, rho:].set(S2)
-        Acat = Acat.at[:, mp.coup_a, mp.coup_b].add(cvals)
-        Acat = Acat.at[:, mp.coup_b, mp.coup_a].add(cvals)
+        # interface couplings live entirely in the child1-ring x child2-ring
+        # off-diagonal block (coup_a < rho <= coup_b by construction):
+        # C = A1^T diag(cvals) A2 with static one-hot A1/A2 — a batched
+        # matmul plus two contiguous block adds, no scatter (see leaf note)
+        A1 = jnp.asarray(_onehot(mp.coup_a, rho), d.dtype)
+        A2 = jnp.asarray(_onehot(mp.coup_b - rho, rho), d.dtype)
+        C = _mm(jnp.swapaxes(A1, 0, 1)[None, :, :],
+                cvals[:, :, None] * A2[None, :, :])
+        Acat = Acat.at[:, :rho, rho:].add(C)
+        Acat = Acat.at[:, rho:, :rho].add(jnp.swapaxes(C, 1, 2))
         iJ, iR = mp.idx_J, mp.idx_R
         A_JJ = Acat[:, iJ[:, None], iJ[None, :]]
         A_JR = Acat[:, iJ[:, None], iR[None, :]]
