@@ -187,9 +187,11 @@ def cmd_train(args):
                       ckpt_dir=args.ckpt_dir,
                       prediction_type=args.prediction_type,
                       t_sampling=args.t_sampling,
-                      loss_weighting=args.weighting)
+                      loss_weighting=args.weighting,
+                      ema_decay=args.ema_decay, augment=args.augment)
     print(f"recipe: prediction_type={cfg.prediction_type} "
-          f"t_sampling={cfg.t_sampling} weighting={cfg.loss_weighting}")
+          f"t_sampling={cfg.t_sampling} weighting={cfg.loss_weighting} "
+          f"ema_decay={cfg.ema_decay} augment={cfg.augment}")
 
     eval_callback = holdout_callback = None
     if args.eval_every:
@@ -247,8 +249,8 @@ def cmd_infer(args):
     import jax.numpy as jnp
 
     from fdtd2d_tpu.models.diffusion import DDPMSchedule
-    from fdtd2d_tpu.models.train import (TrainConfig, create_state, inference,
-                                         restore_checkpoint)
+    from fdtd2d_tpu.models.train import (TrainConfig, create_state, ema_state,
+                                         inference, restore_checkpoint)
     from fdtd2d_tpu.viz.plots import plot_ref_v_inference
     from fdtd2d_tpu.viz.render import plot_Ez
 
@@ -266,7 +268,8 @@ def cmd_infer(args):
         raise SystemExit("checkpoint has no normalization scales (pre-scales "
                          "format); re-save with models.train.save_checkpoint")
     schedule = DDPMSchedule.create(cfg.num_train_timesteps)
-    pred = inference(state, schedule, jax.random.PRNGKey(args.seed),
+    # EMA-trained checkpoints read out through the EMA iterate (no-op otherwise)
+    pred = inference(ema_state(state), schedule, jax.random.PRNGKey(args.seed),
                      eps, mu, src, omega, scales=scales,
                      num_inference_steps=args.steps,
                      prediction_type=args.prediction_type,
@@ -401,6 +404,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "or uniform over all noise levels")
     f.add_argument("--weighting", choices=("snr_gamma", "min_snr", "uniform"),
                    default="snr_gamma", help="per-timestep loss weight")
+    f.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track an EMA of the params (e.g. 0.999) and read "
+                        "eval/holdout/inference through it — the standard "
+                        "diffusion variance-reduction; 0 disables")
+    f.add_argument("--augment", action="store_true",
+                   help="exact D4 scene/field augmentation: random "
+                        "flip/rotation per sample, up to 8x the effective "
+                        "unique-scene count (models/augment.py)")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")

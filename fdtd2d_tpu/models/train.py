@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +30,12 @@ from fdtd2d_tpu.models.diffusion import (
 
 class TrainState(train_state.TrainState):
     batch_stats: dict
+    # exponential moving average of params (None when EMA is off). Diffusion
+    # quality is notoriously sensitive to late-training parameter noise; the
+    # EMA iterate is the standard readout and directly targets the measured
+    # run-to-run spread (STATUS.md limitation 5: 0.25-0.53 ensemble corr
+    # across seeds from the same recipe).
+    ema_params: Any = None
 
 
 def compute_scales(data: dict) -> dict:
@@ -75,6 +81,14 @@ class TrainConfig:
     prediction_type: str = "epsilon"   # "epsilon" | "x0" | "regression"
     t_sampling: str = "snr"            # "snr" (SNR^1.3 importance) | "uniform"
     loss_weighting: str = "snr_gamma"  # "snr_gamma" | "min_snr" | "uniform"
+    # 0.0 disables EMA; 0.999 is the conventional diffusion setting at this
+    # step count. Eval/holdout/checkpoint-final readouts use the EMA iterate
+    # when enabled (models/augment.py docstring for the motivation).
+    ema_decay: float = 0.0
+    # exact D4 scene/field augmentation (models/augment.py): up to 8x the
+    # effective unique-scene count — the measured binding constraint on
+    # surrogate quality — at zero datagen cost. Valid for square scenes.
+    augment: bool = False
 
 
 def create_state(key, shape: Tuple[int, int], config: TrainConfig,
@@ -88,20 +102,35 @@ def create_state(key, shape: Tuple[int, int], config: TrainConfig,
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
+        ema_params=(variables["params"] if config.ema_decay > 0 else None),
         tx=optax.adamw(config.lr),
     )
 
 
+def ema_state(state: TrainState) -> TrainState:
+    """The state to READ the model from: params swapped for their EMA when
+    EMA is enabled (training always continues from the raw params)."""
+    if state.ema_params is None:
+        return state
+    return state.replace(params=state.ema_params)
+
+
 @partial(jax.jit, static_argnames=("snr_gamma", "t_gamma", "prediction_type",
-                                   "t_sampling", "weighting"))
+                                   "t_sampling", "weighting", "ema_decay",
+                                   "augment"))
 def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
                snr_gamma: float = 5.0, t_gamma: float = 1.3,
                prediction_type: str = "epsilon", t_sampling: str = "snr",
-               weighting: str = "snr_gamma"):
+               weighting: str = "snr_gamma", ema_decay: float = 0.0,
+               augment: bool = False):
     """One weighted denoising step (reference :345-373 for the default
     epsilon/snr/snr_gamma recipe; see diffusion.loss_weight for why the
     x0/uniform/uniform recipe is the one that generates)."""
-    k_t, k_noise = jax.random.split(key)
+    k_t, k_noise, k_aug = jax.random.split(key, 3)
+    if augment:
+        from fdtd2d_tpu.models.augment import augment_batch
+
+        batch = augment_batch(k_aug, batch)
     B = batch["Ez"].shape[0]
     if prediction_type == "regression":
         # plain supervised surrogate: no noising, t pinned to 0, plain MSE
@@ -135,16 +164,21 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
+    if ema_decay > 0 and state.ema_params is not None:
+        state = state.replace(ema_params=jax.tree.map(
+            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            state.ema_params, state.params))
     return state, loss
 
 
 @partial(jax.jit, static_argnames=("batch_size", "snr_gamma", "t_gamma",
                                    "prediction_type", "t_sampling",
-                                   "weighting"))
+                                   "weighting", "ema_decay", "augment"))
 def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
                 perm, *, batch_size: int, snr_gamma: float = 5.0,
                 t_gamma: float = 1.3, prediction_type: str = "epsilon",
                 t_sampling: str = "snr", weighting: str = "snr_gamma",
+                ema_decay: float = 0.0, augment: bool = False,
                 affine: Optional[dict] = None, const: Optional[dict] = None):
     """One full epoch as a single device program (lax.scan over batches) —
     per-batch host dispatch dominates wall-clock on a tunneled TPU.
@@ -179,7 +213,8 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
         state, loss = train_step(state, schedule, k_step, batch,
                                  snr_gamma=snr_gamma, t_gamma=t_gamma,
                                  prediction_type=prediction_type,
-                                 t_sampling=t_sampling, weighting=weighting)
+                                 t_sampling=t_sampling, weighting=weighting,
+                                 ema_decay=ema_decay, augment=augment)
         return (state, key), loss
 
     (state, _), losses = jax.lax.scan(body, (state, key), jnp.arange(nb))
@@ -317,6 +352,8 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, epoch: int,
                "opt_state": state.opt_state, "step": state.step, "epoch": epoch}
     if scales is not None:
         payload["scales"] = {k: jnp.asarray(v) for k, v in scales.items()}
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
 
@@ -343,29 +380,61 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState):
                 "opt_state": state.opt_state, "step": state.step, "epoch": 0}
     scale_template = {k: jnp.zeros(()) for k in ("eps", "mu", "Ez", "omega")}
     path = os.path.abspath(f"{ckpt_dir}/epoch_{epoch:05d}")  # orbax requires absolute
-    try:
-        payload = ckptr.restore(path, dict(template, scales=scale_template))
-        scales = payload["scales"]
-    except (KeyError, ValueError) as e:
-        # pre-scales checkpoint layout only: orbax raises KeyError/ValueError
-        # when the stored tree lacks the 'scales' subtree. Anything else
-        # (corruption, dtype mismatch, bad path) must propagate — silently
-        # returning scales=None would reintroduce the normalization-drift
-        # bug the persisted scales exist to prevent.
-        if "scales" not in str(e):
-            raise
-        import warnings
+    import warnings
 
-        warnings.warn(
-            f"checkpoint {path} has no normalization scales "
-            f"(pre-scales format; {type(e).__name__}: {e}); inference "
-            "against it must recompute scales from the ORIGINAL training "
-            "data or fields will be mis-scaled", stacklevel=2)
-        payload = ckptr.restore(path, template)
-        scales = None
+    # Both 'scales' and 'ema_params' are optional subtrees (older layouts
+    # lack them; EMA is present only for runs with ema_decay > 0). Orbax
+    # raises KeyError/ValueError naming the missing subtree; drop exactly
+    # that subtree from the template and retry. Anything else (corruption,
+    # dtype mismatch, bad path) must propagate — silently degrading would
+    # reintroduce the normalization-drift bug the persisted scales prevent.
+    with_scales = True
+    with_ema = state.ema_params is not None
+    tried_add_ema = False
+    while True:
+        t = dict(template)
+        if with_scales:
+            t["scales"] = scale_template
+        if with_ema:
+            t["ema_params"] = (state.ema_params if state.ema_params is not None
+                               else state.params)
+        try:
+            payload = ckptr.restore(path, t)
+            break
+        except (KeyError, ValueError) as e:
+            msg = str(e)
+            if with_scales and "scales" in msg:
+                with_scales = False
+                warnings.warn(
+                    f"checkpoint {path} has no normalization scales "
+                    f"(pre-scales format; {type(e).__name__}: {e}); inference "
+                    "against it must recompute scales from the ORIGINAL "
+                    "training data or fields will be mis-scaled", stacklevel=2)
+                continue
+            if with_ema and "ema_params" in msg and not tried_add_ema:
+                with_ema = False
+                warnings.warn(
+                    f"checkpoint {path} has no EMA params (pre-EMA format); "
+                    "re-seeding the EMA from the restored raw params",
+                    stacklevel=2)
+                continue
+            if not with_ema and "ema_params" in msg:
+                # the caller did not ask for EMA but the checkpoint carries
+                # one (e.g. `fdtd2d infer` against an ema_decay run): restore
+                # it so readouts use the EMA iterate
+                with_ema = tried_add_ema = True
+                continue
+            raise
+    scales = payload["scales"] if with_scales else None
+    ema = None
+    if with_ema:
+        ema = payload["ema_params"]
+    elif state.ema_params is not None:
+        ema = payload["params"]
     state = state.replace(params=payload["params"],
                           batch_stats=payload["batch_stats"],
-                          opt_state=payload["opt_state"], step=payload["step"])
+                          opt_state=payload["opt_state"], step=payload["step"],
+                          ema_params=ema)
     return state, epoch + 1, scales
 
 
@@ -616,7 +685,8 @@ def train(key, data: dict, config: TrainConfig,
                     t_gamma=config.timestep_gamma,
                     prediction_type=config.prediction_type,
                     t_sampling=config.t_sampling,
-                    weighting=config.loss_weighting)
+                    weighting=config.loss_weighting,
+                    ema_decay=config.ema_decay, augment=config.augment)
                 chunk_losses.append(float(loss))
             mean_loss = float(np.mean(chunk_losses))
         else:
@@ -628,6 +698,8 @@ def train(key, data: dict, config: TrainConfig,
                                            prediction_type=config.prediction_type,
                                            t_sampling=config.t_sampling,
                                            weighting=config.loss_weighting,
+                                           ema_decay=config.ema_decay,
+                                           augment=config.augment,
                                            affine=affine, const=const)
         losses.append(float(mean_loss))
         if callback:
@@ -635,7 +707,7 @@ def train(key, data: dict, config: TrainConfig,
         if eval_sample is not None and (epoch + 1) % eval_every == 0:
             key, k_ev = jax.random.split(key)
             pred = inference(
-                state, schedule, k_ev,
+                ema_state(state), schedule, k_ev,
                 jnp.asarray(eval_sample["eps"])[None],
                 jnp.asarray(eval_sample["mu"])[None],
                 jnp.asarray(eval_sample["src"])[None],
@@ -645,8 +717,8 @@ def train(key, data: dict, config: TrainConfig,
         if (holdout_set is not None and eval_every > 0
                 and (epoch + 1) % eval_every == 0):
             key, k_h = jax.random.split(key)
-            rel = holdout_relative_l2(state, schedule, k_h, holdout_set,
-                                      scales,
+            rel = holdout_relative_l2(ema_state(state), schedule, k_h,
+                                      holdout_set, scales,
                                       prediction_type=config.prediction_type)
             if holdout_callback is not None:
                 holdout_callback(epoch, rel)

@@ -522,3 +522,151 @@ def test_ensemble_inference_chunked():
     assert np.all(np.isfinite(np.asarray(chunked)))
     r = float(jnp.linalg.norm(chunked - full) / jnp.linalg.norm(full))
     assert r < 1.0, r
+
+
+# ---------------------------------------------------------------------------
+# D4 augmentation + EMA (round 3: the two levers STATUS.md limitation 5
+# identifies against surrogate run-to-run variance and the unique-scene cap)
+# ---------------------------------------------------------------------------
+
+
+def test_dihedral_matches_numpy_group():
+    """dihedral(x, g): g%4 CCW rot90s, g>=4 flips axis -2 first — pinned
+    against numpy's rot90/flipud for all 8 group elements."""
+    from fdtd2d_tpu.models.augment import dihedral
+
+    x = np.arange(30, dtype=np.float32).reshape(5, 6)[:, :5]  # asymmetric
+    for g in range(8):
+        got = np.asarray(dihedral(jnp.asarray(x), g))
+        want = np.rot90(np.flipud(x) if g >= 4 else x, k=g % 4)
+        np.testing.assert_array_equal(got, want, err_msg=f"g={g}")
+    with pytest.raises(ValueError):
+        dihedral(jnp.zeros((4, 6)), 1)  # non-square spatial dims
+
+
+@pytest.mark.slow
+def test_dihedral_physics_equivariance():
+    """The discrete Helmholtz solve commutes with D4 on square scenes with
+    symmetric PML (models/augment.py docstring): Ez(g.scene) == g.Ez(scene).
+    Verified against the exact direct solver — this is the claim that makes
+    --augment a physically exact 8x dataset multiplier."""
+    from fdtd2d_tpu import constants
+    from fdtd2d_tpu.fdfd.direct import DirectSolver
+    from fdtd2d_tpu.models.augment import dihedral
+
+    N, dx, omega = 64, 1e-3, 17e9
+    eps = np.full((N, N), constants.EPSILON_0)
+    eps[10:30, 18:40] *= 2.0
+    eps[40:52, 8:20] *= 1.5
+    mu = np.full((N, N), constants.MU_0)
+    src = np.zeros((N, N))
+    src[22, 37] = 1.0
+
+    base, trace = DirectSolver(eps, mu, dx, dx, omega,
+                               pml_thickness=12).solve(src, refine_target=1e-9)
+    # trace[-2] is the f64 iterate's residual; trace[-1] the returned
+    # complex64 downcast's own (floored near c64 eps — the honest-residual
+    # contract, fdfd/solver.py)
+    assert trace[-2] < 1e-8
+    base = np.asarray(base)
+    for g in (1, 3, 4, 6):
+        te = np.asarray(dihedral(jnp.asarray(eps), g))
+        tm = np.asarray(dihedral(jnp.asarray(mu), g))
+        ts = np.asarray(dihedral(jnp.asarray(src), g))
+        got, _ = DirectSolver(te, tm, dx, dx, omega,
+                              pml_thickness=12).solve(ts, refine_target=1e-9)
+        want = np.asarray(dihedral(jnp.asarray(base), g))
+        # both fields are c64 downcasts of ~1e-9-residual solves; a broken
+        # equivariance claim would show O(1) mismatch, the c64 floor ~1e-5
+        rel = np.linalg.norm(np.asarray(got) - want) / np.linalg.norm(want)
+        assert rel < 1e-4, f"g={g}: rel error {rel:.2e}"
+
+
+def test_augment_batch_moves_field_with_scene():
+    from fdtd2d_tpu.models.augment import augment_batch
+
+    data = _tiny_data(n=16)
+    batch = dict(data)
+    batch["Ez"] = batch["eps"]  # field == scene: must STAY equal per sample
+    out = augment_batch(jax.random.PRNGKey(2), batch)
+    np.testing.assert_array_equal(np.asarray(out["Ez"]), np.asarray(out["eps"]))
+    assert out["omega"] is batch["omega"]  # non-spatial passthrough
+    # with 16 samples, some g != identity with overwhelming probability
+    assert not np.array_equal(np.asarray(out["eps"]), np.asarray(batch["eps"]))
+
+
+def test_ema_one_step_recursion():
+    from fdtd2d_tpu.models.train import ema_state
+
+    cfg = TrainConfig(batch_size=4, ema_decay=0.5)
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    p0 = jax.tree.map(np.asarray, state.params)
+    schedule = DDPMSchedule.create(100)
+    batch = {k: v[:4] for k, v in _tiny_data().items()}
+    state, _ = train_step(state, schedule, KEY, batch, ema_decay=0.5)
+    want = jax.tree.map(lambda a, b: 0.5 * a + 0.5 * np.asarray(b),
+                        p0, state.params)
+    for w, e in zip(jax.tree.leaves(want), jax.tree.leaves(state.ema_params)):
+        np.testing.assert_allclose(np.asarray(e), w, rtol=1e-6)
+    # readout state swaps params for the EMA; training state is untouched
+    assert ema_state(state).params is state.ema_params
+    # ema_decay=0 runs keep no EMA tree at all
+    s0 = create_state(KEY, (32, 32), TrainConfig(batch_size=4),
+                      model=_tiny_model())
+    assert s0.ema_params is None and ema_state(s0) is s0
+
+
+def test_train_augment_ema_e2e():
+    from fdtd2d_tpu.models.train import train
+
+    data = {k: jnp.asarray(v) for k, v in _tiny_data(n=8).items()}
+    cfg = TrainConfig(batch_size=4, num_epochs=2, ema_decay=0.9, augment=True)
+    state, losses, scales = train(KEY, data, cfg)
+    assert np.all(np.isfinite(losses))
+    assert state.ema_params is not None
+    # EMA must differ from the raw params after optimizer steps
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(jax.tree.leaves(state.ema_params),
+                             jax.tree.leaves(state.params))]
+    assert max(diffs) > 0
+
+
+@pytest.mark.slow
+def test_checkpoint_roundtrip_ema(tmp_path):
+    cfg = TrainConfig(batch_size=4, ema_decay=0.9)
+    state = create_state(KEY, (32, 32), cfg, model=_tiny_model())
+    schedule = DDPMSchedule.create(100)
+    batch = {k: v[:4] for k, v in _tiny_data().items()}
+    state, _ = train_step(state, schedule, KEY, batch, ema_decay=0.9)
+    scales = {"eps": jnp.asarray(2.0), "mu": jnp.asarray(3.0),
+              "Ez": jnp.asarray(0.5), "omega": jnp.asarray(1e10)}
+    save_checkpoint(str(tmp_path), state, epoch=0, scales=scales)
+
+    # EMA-enabled restore round-trips the EMA tree exactly
+    fresh = create_state(jax.random.PRNGKey(9), (32, 32), cfg,
+                         model=_tiny_model())
+    restored, _, _ = restore_checkpoint(str(tmp_path), fresh)
+    for a, b in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # an EMA-unaware caller (the `fdtd2d infer` path, default config) must
+    # still pick up the stored EMA instead of structure-mismatching
+    fresh0 = create_state(jax.random.PRNGKey(9), (32, 32),
+                          TrainConfig(batch_size=4), model=_tiny_model())
+    restored0, _, _ = restore_checkpoint(str(tmp_path), fresh0)
+    assert restored0.ema_params is not None
+    for a, b in zip(jax.tree.leaves(state.ema_params),
+                    jax.tree.leaves(restored0.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # pre-EMA checkpoint into an EMA-enabled state: warn + re-seed from params
+    state_plain = create_state(KEY, (32, 32), TrainConfig(batch_size=4),
+                               model=_tiny_model())
+    save_checkpoint(str(tmp_path / "plain"), state_plain, epoch=0,
+                    scales=scales)
+    with pytest.warns(UserWarning, match="no EMA params"):
+        restored2, _, _ = restore_checkpoint(str(tmp_path / "plain"), fresh)
+    for a, b in zip(jax.tree.leaves(restored2.params),
+                    jax.tree.leaves(restored2.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
