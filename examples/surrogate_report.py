@@ -28,8 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from fdtd2d_tpu.models.diffusion import DDPMSchedule
-from fdtd2d_tpu.models.train import (TrainConfig, create_state, inference,
-                                     regress, restore_checkpoint)
+from fdtd2d_tpu.models.train import (TrainConfig, create_state, ema_state,
+                                     inference, regress, restore_checkpoint)
 from fdtd2d_tpu.viz.plots import plot_ref_v_inference, plot_training_curves
 
 
@@ -47,7 +47,10 @@ def main(data_path, ckpt_dir, eval_dir, out_dir, holdout=64,
     state, epoch, scales = restore_checkpoint(ckpt_dir, state)
     if epoch == 0:
         raise SystemExit(f"no checkpoint in {ckpt_dir}")
-    print(f"restored epoch {epoch - 1}")
+    # EMA-trained checkpoints read out through the EMA iterate (no-op else)
+    state = ema_state(state)
+    print(f"restored epoch {epoch - 1}"
+          + (" (EMA readout)" if state.ema_params is not None else ""))
     schedule = DDPMSchedule.create(cfg.num_train_timesteps)
 
     def infer_all(stochastic, steps=50, seed=123):
