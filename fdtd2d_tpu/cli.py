@@ -70,6 +70,17 @@ def cmd_fdfd(args):
         Ez = np.asarray(jnp.real(x))
         print(f"relative residual: {trace[-1]:.3e} "
               f"(f64 iterate: {trace[-2]:.3e})")
+    elif args.solver == "timedomain":
+        from fdtd2d_tpu.fdfd.timedomain import TimeDomainSolver
+
+        solver = TimeDomainSolver(np.asarray(scene.eps), np.asarray(scene.mu),
+                                  scene.dx, scene.dx, args.omega)
+        x, trace = solver.solve(np.asarray(source), rhs_scale=args.omega,
+                                refine_target=args.tol)
+        Ez = np.asarray(jnp.real(x))
+        print(f"relative residual: {trace[-1]:.3e} "
+              f"(f64 iterate: {trace[-2]:.3e}; "
+              f"{solver.steps_per_apply} wave steps/apply)")
     else:
         from fdtd2d_tpu.fdfd.solver import run_fdfd
 
@@ -316,10 +327,12 @@ def build_parser() -> argparse.ArgumentParser:
     f.add_argument("--tol", type=float, default=1e-6)
     f.add_argument("--maxiter", type=int, default=1000)
     f.add_argument("--solver", type=str, default="krylov",
-                   choices=["krylov", "direct"],
+                   choices=["krylov", "direct", "timedomain"],
                    help="krylov: FDM-FGMRES (scales past the direct "
                         "solver's memory); direct: exact sublattice "
-                        "block-Thomas factorization (any contrast)")
+                        "block-Thomas factorization (any contrast); "
+                        "timedomain: frequency-locked wave run to steady "
+                        "state (wavelength-robust, no factor memory)")
     f.add_argument("--structure", type=str, default=None)
     f.add_argument("--out", type=str, default="Ez.png")
     f.set_defaults(fn=cmd_fdfd)

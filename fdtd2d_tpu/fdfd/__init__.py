@@ -7,6 +7,7 @@ from fdtd2d_tpu.fdfd.direct import (DirectSolver, factor,
 from fdtd2d_tpu.fdfd.tiled import run_fdfd_tiled, TiledSolver
 from fdtd2d_tpu.fdfd.hps import hps_factor, hps_solve
 from fdtd2d_tpu.fdfd.refine import refine, RefineResult
+from fdtd2d_tpu.fdfd.timedomain import TimeDomainSolver
 
 __all__ = [
     "make_operator",
@@ -25,6 +26,7 @@ __all__ = [
     "hps_solve",
     "refine",
     "RefineResult",
+    "TimeDomainSolver",
     "shifted_laplacian_preconditioner",
     "solve_helmholtz_differentiable",
 ]

@@ -165,8 +165,15 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
     state = state.apply_gradients(grads=grads)
     state = state.replace(batch_stats=new_stats)
     if ema_decay > 0 and state.ema_params is not None:
+        # decay warmup (the standard EMA bias fix): the EMA is seeded at the
+        # random init, so a flat decay of 0.999 leaves the first ~2-3k steps
+        # of readouts dominated by init noise. min(decay, (1+t)/(10+t))
+        # makes the early EMA a plain running mean and converges to the
+        # configured decay once t >> 10/(1-decay) matters.
+        step = state.step.astype(jnp.float32)
+        eff = jnp.minimum(ema_decay, (1.0 + step) / (10.0 + step))
         state = state.replace(ema_params=jax.tree.map(
-            lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+            lambda e, p: eff * e + (1.0 - eff) * p,
             state.ema_params, state.params))
     return state, loss
 
@@ -383,48 +390,33 @@ def restore_checkpoint(ckpt_dir: str, state: TrainState):
     import warnings
 
     # Both 'scales' and 'ema_params' are optional subtrees (older layouts
-    # lack them; EMA is present only for runs with ema_decay > 0). Orbax
-    # raises KeyError/ValueError naming the missing subtree; drop exactly
-    # that subtree from the template and retry. Anything else (corruption,
-    # dtype mismatch, bad path) must propagate — silently degrading would
-    # reintroduce the normalization-drift bug the persisted scales prevent.
-    with_scales = True
-    with_ema = state.ema_params is not None
-    tried_add_ema = False
-    while True:
-        t = dict(template)
-        if with_scales:
-            t["scales"] = scale_template
-        if with_ema:
-            t["ema_params"] = (state.ema_params if state.ema_params is not None
-                               else state.params)
-        try:
-            payload = ckptr.restore(path, t)
-            break
-        except (KeyError, ValueError) as e:
-            msg = str(e)
-            if with_scales and "scales" in msg:
-                with_scales = False
-                warnings.warn(
-                    f"checkpoint {path} has no normalization scales "
-                    f"(pre-scales format; {type(e).__name__}: {e}); inference "
-                    "against it must recompute scales from the ORIGINAL "
-                    "training data or fields will be mis-scaled", stacklevel=2)
-                continue
-            if with_ema and "ema_params" in msg and not tried_add_ema:
-                with_ema = False
-                warnings.warn(
-                    f"checkpoint {path} has no EMA params (pre-EMA format); "
-                    "re-seeding the EMA from the restored raw params",
-                    stacklevel=2)
-                continue
-            if not with_ema and "ema_params" in msg:
-                # the caller did not ask for EMA but the checkpoint carries
-                # one (e.g. `fdtd2d infer` against an ema_decay run): restore
-                # it so readouts use the EMA iterate
-                with_ema = tried_add_ema = True
-                continue
-            raise
+    # lack them; EMA is present only for runs with ema_decay > 0). Decide
+    # which ones THIS checkpoint carries from its stored structure — never
+    # from restore-error text, which is brittle across orbax versions and
+    # could downgrade an unrelated corruption error to a warn-and-retry.
+    stored = set(ckptr.metadata(path).item_metadata.tree.keys())
+    with_scales = "scales" in stored
+    with_ema = "ema_params" in stored
+    if not with_scales:
+        warnings.warn(
+            f"checkpoint {path} has no normalization scales (pre-scales "
+            "format); inference against it must recompute scales from the "
+            "ORIGINAL training data or fields will be mis-scaled",
+            stacklevel=2)
+    if not with_ema and state.ema_params is not None:
+        warnings.warn(
+            f"checkpoint {path} has no EMA params (pre-EMA format); "
+            "re-seeding the EMA from the restored raw params", stacklevel=2)
+    t = dict(template)
+    if with_scales:
+        t["scales"] = scale_template
+    if with_ema:
+        # restore the stored EMA even for EMA-unaware callers (the
+        # `fdtd2d infer` path, default config) so readouts use the EMA
+        # iterate
+        t["ema_params"] = (state.ema_params if state.ema_params is not None
+                           else state.params)
+    payload = ckptr.restore(path, t)
     scales = payload["scales"] if with_scales else None
     ema = None
     if with_ema:
@@ -546,6 +538,22 @@ def train(key, data: dict, config: TrainConfig,
     ckpt_scales = None
     if config.ckpt_dir:
         state, start_epoch, ckpt_scales = restore_checkpoint(config.ckpt_dir, state)
+        if config.ema_decay == 0 and state.ema_params is not None:
+            # resuming TRAINING from an EMA checkpoint without --ema-decay:
+            # train_step would never update the restored EMA, yet every
+            # eval/holdout/final readout reads through ema_state(state) —
+            # metrics would silently track the stale old-run average while
+            # the raw params train on. Drop it; the forced-EMA restore is
+            # for the read-only infer path (which calls restore_checkpoint
+            # directly), not for resumed training.
+            import warnings
+
+            warnings.warn(
+                "resuming with ema_decay=0 from a checkpoint that carries "
+                "EMA params: discarding the stored EMA so readouts follow "
+                "the training params (pass --ema-decay to keep updating it)",
+                stacklevel=2)
+            state = state.replace(ema_params=None)
 
     compact = isinstance(device_dtype, str) and device_dtype == "compact"
     raw = {k: v for k, v in data.items()
