@@ -48,6 +48,10 @@ FDTD_BASELINE = 0.0177          # GCells/s, reference NumPy kernels (BASELINE.md
 FDFD512_BASELINE_S = 7.1        # scipy spsolve at 512^2 (BASELINE.md)
 TILED1024_BASELINE_S = 3.0      # reference ~3 s APPROXIMATE tiled solve at 1000^2
 DATAGEN_BASELINE_SPS = 1.0 / 0.72  # reference: one 256^2 spsolve per sample
+# reference's own torch train step (UNet2DModel fwd+bwd+AdamW, batch 8 at
+# 256^2) measured in this container on CPU 2026-08-19 (BASELINE.md; the
+# reference published no training-time numbers)
+TRAINSTEP_BASELINE_MS = 99708.0
 
 
 def _sync(x):
