@@ -139,6 +139,15 @@ class WaveBundle:
     gg_col: jax.Array   # (4, 1, 2t)
     d0_row: jax.Array   # (4, 2t, 1)
     gg_row: jax.Array   # (4, 2t, 1)
+    # band stabilizer: tiny CENTERED sponge (u[k+1]-u[k-1])/2dt over the
+    # PML band only. The filter+leapfrog coupling has a slow residual
+    # growth (measured max|eig| ~ 1.00016 across configs in the update-
+    # operator probe, independent of the CFL safety factor); a centered
+    # sponge of h_d per step suppresses it with margin at the cost of an
+    # O(2 h_d / theta) relative operator perturbation confined to the band
+    # — which the outer refinement contracts through per round.
+    hd_r: jax.Array     # f32 (4, nr) half-damping rows
+    hd_c: jax.Array     # f32 (4, nc)
     theta: jax.Array    # f32 scalar, drive phase per step
     dense: bool = dataclasses.field(metadata=dict(static=True))
     t: int = dataclasses.field(metadata=dict(static=True))
@@ -238,7 +247,10 @@ def wave_run(bundle: WaveBundle, b_sub: jax.Array) -> jax.Array:
         ph = (jnp.cos(theta * kf) - 1j * jnp.sin(theta * kf)).astype(
             jnp.complex64) * ramp
         su, psi = _apply_S(bundle, u, uprev, psi)
-        unew = 2.0 * u - uprev + bundle.inv_eps_dt2 * (b_sub * ph - su)
+        # rank-1 band sponge, broadcast in-register (never materialized)
+        hd = bundle.hd_r[:, :, None] + bundle.hd_c[:, None, :]
+        unew = (2.0 * u - (1.0 - hd) * uprev
+                + bundle.inv_eps_dt2 * (b_sub * ph - su)) / (1.0 + hd)
         return unew, u, psi
 
     u0 = jnp.zeros_like(b_sub)
@@ -269,6 +281,7 @@ def wave_run(bundle: WaveBundle, b_sub: jax.Array) -> jax.Array:
 def build_wave_bundle(eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
                       sigma_max: float = 2.0, m: int = 3,
                       transits: float = 2.5, safety: float = 0.9,
+                      stab_damp: float = 5e-4,
                       steps_override: Optional[int] = None) -> WaveBundle:
     """Host-side setup: coefficients, CFL step, dispersion-corrected drive,
     frequency-locked filter parameters.
@@ -334,6 +347,10 @@ def build_wave_bundle(eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
 
     d0_r, gg_r = filt(sig_r)
     d0_c, gg_c = filt(sig_c)
+    # band stabilizer half-damping (see WaveBundle.hd_r): flat over the
+    # sigma-active cells, ~3x margin over the measured 1.6e-4/step growth
+    hd_row = np.where(sig_r > 0, stab_damp, 0.0)
+    hd_col = np.where(sig_c > 0, stab_damp, 0.0)
 
     def pack_col(prof, parities):
         # (Ny,) profile -> (4, 1, 2t) strip-packed per sublattice parity
@@ -358,6 +375,10 @@ def build_wave_bundle(eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
         gg_col=jnp.asarray(pack_col(gg_c, col_par), jnp.float32),
         d0_row=jnp.asarray(pack_row(d0_r, row_par), jnp.float32),
         gg_row=jnp.asarray(pack_row(gg_r, row_par), jnp.float32),
+        hd_r=jnp.asarray(np.stack([hd_row[p::2] for p in row_par]),
+                         jnp.float32),
+        hd_c=jnp.asarray(np.stack([hd_col[p::2] for p in col_par]),
+                         jnp.float32),
         theta=jnp.asarray(theta, jnp.float32),
         t=t_sub, n_main=n_main, n_avg=period, n_ramp=n_ramp,
     )

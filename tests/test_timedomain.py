@@ -126,11 +126,14 @@ def test_update_operator_spectrum_is_stable():
             o += sz
         return out
 
+    hd = bnd.hd_r[:, :, None] + bnd.hd_c[:, None, :]
+
     @jax.jit
     def stepv(v):
         u, uprev, p1, p2, p3, p4, c5, c6 = unpack(v)
         su, new = _apply_S(bnd, u, uprev, (p1, p2, p3, p4, c5, c6))
-        unew = 2.0 * u - uprev - bnd.inv_eps_dt2 * su
+        unew = (2.0 * u - (1.0 - hd) * uprev
+                - bnd.inv_eps_dt2 * su) / (1.0 + hd)
         return jnp.concatenate([a.ravel() for a in (unew, u) + new])
 
     M = jax.vmap(stepv)(jnp.eye(D, dtype=jnp.complex64)).T
