@@ -68,7 +68,7 @@ def _source_amp(kind: str, t, fc):
 
 
 def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
-            sy: int,
+            GW: int,
             fparams, iparams,
             ez_in, hx_in, hy_in, ce, ch,
             ezo, hxo, hyo,
@@ -76,18 +76,27 @@ def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
     p = pl.program_id(0)
     last = pl.num_programs(0) - 1
     H = PH + 2 * GH
+    # column layout: [GW ghost | Ml own | GW ghost]; GW = 0 single-device
+    # and on 1D row meshes, GW >= K on column-sharded 2D meshes (the ghost
+    # columns recede one cell of validity per in-VMEM step, like rows)
+    Ml = M - 2 * GW
+    cl = GW            # first true-domain column (when is_left)
+    cr = GW + Ml       # one past the last true-domain column (when is_right)
     coef = fparams[0]
     dt = fparams[1]
     fc = fparams[2]
     t0 = iparams[0]
-    # src_g: source row in GHOSTED array coords (PH + domain row); dynamic so
-    # the sharded driver can pass a device-varying value under shard_map
+    # src_g/src_c: source row/col in GHOSTED array coords; dynamic so the
+    # sharded driver can pass device-varying values under shard_map
     src_g = iparams[1]
-    # is_top/is_bot: does this program's first/last panel border the TRUE
-    # domain boundary (Mur bands + halo zeroing)? Always 1 single-device; a
-    # sharded interior device borders neighbor halo instead of the boundary.
+    # is_top/is_bot/is_left/is_right: does this program's block border the
+    # TRUE domain boundary on that side (Mur bands + halo zeroing)? All 1
+    # single-device; a sharded interior device borders neighbor halo.
     is_top = iparams[2]
     is_bot = iparams[3]
+    is_left = iparams[4]
+    is_right = iparams[5]
+    src_c = iparams[6]
 
     ez[:, :] = ez_in[:, :]
     hx[:, :] = hx_in[:, :]
@@ -108,9 +117,10 @@ def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
             f[H - GH : H, :] = jnp.zeros((GH, M), f.dtype)
 
     def step(i, _):
-        # Save previous-step boundary strips for the Mur scheme.
-        p_l[:, :] = ez[:, 0:S]
-        p_r[:, :] = ez[:, M - S : M]
+        # Save previous-step boundary strips for the Mur scheme (at the
+        # TRUE domain edge columns; with GW = 0 these are the array edges).
+        p_l[:, :] = ez[:, cl : cl + S]
+        p_r[:, :] = ez[:, cr - S : cr]
 
         @pl.when((p == 0) & (is_top != 0))
         def _():
@@ -144,22 +154,44 @@ def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
         # Mur left/right bands on ALL rows (strip-vectorized): rows that are
         # domain rows 0 / N-1 exist only in the boundary panels, where the
         # top/bottom band + corner stages below overwrite every cell these
-        # writes could reach; halo rows are never written back.
-        cur_lr[:, :] = ez[:, 0:S]
-        ez[:, 0:B] = p_l[:, 1:S] + coef * (cur_lr[:, 1:S] - p_l[:, 0:B])
-        cur_lr[:, :] = ez[:, M - S : M]
-        ez[:, M - B : M] = p_r[:, 0:B] + coef * (cur_lr[:, 0:B] - p_r[:, 1:S])
+        # writes could reach; halo rows are never written back. On a column-
+        # sharded mesh only the devices bordering the true left/right edges
+        # apply them (interior devices' ghost columns just evolve, mirroring
+        # the neighbor's own computation).
+        @pl.when(is_left != 0)
+        def _():
+            cur_lr[:, :] = ez[:, cl : cl + S]
+            ez[:, cl : cl + B] = p_l[:, 1:S] + coef * (
+                cur_lr[:, 1:S] - p_l[:, 0:B])
+
+        @pl.when(is_right != 0)
+        def _():
+            cur_lr[:, :] = ez[:, cr - S : cr]
+            ez[:, cr - B : cr] = p_r[:, 0:B] + coef * (
+                cur_lr[:, 0:B] - p_r[:, 1:S])
 
         # Mur top/bottom bands + corner averaging (boundary panels only).
+        # The band spans [1, M-1): on a column-sharded device that includes
+        # the ghost columns (whose true owner applies the same row-local
+        # update), minus the stale outermost ghost column each side; the
+        # true corner cells are overwritten by the gated averaging stages.
         @pl.when((p == 0) & (is_top != 0))
         def _():
             cur_tb[:, :] = ez[GH : GH + S, :]
             ez[GH : GH + B, 1 : M - 1] = p_t[1:S, 1 : M - 1] + coef * (
                 cur_tb[1:S, 1 : M - 1] - p_t[0:B, 1 : M - 1])
-            cblk[:, :] = ez[GH : GH + S, 0:S]
-            ez[GH : GH + B, 0:B] = (cblk[0:B, 1:S] + cblk[1:S, 0:B]) * 0.5
-            cblk[:, :] = ez[GH : GH + S, M - S : M]
-            ez[GH : GH + B, M - B : M] = (cblk[0:B, 0:B] + cblk[1:S, 1:S]) * 0.5
+
+            @pl.when(is_left != 0)
+            def _():
+                cblk[:, :] = ez[GH : GH + S, cl : cl + S]
+                ez[GH : GH + B, cl : cl + B] = (
+                    cblk[0:B, 1:S] + cblk[1:S, 0:B]) * 0.5
+
+            @pl.when(is_right != 0)
+            def _():
+                cblk[:, :] = ez[GH : GH + S, cr - S : cr]
+                ez[GH : GH + B, cr - B : cr] = (
+                    cblk[0:B, 0:B] + cblk[1:S, 1:S]) * 0.5
 
         @pl.when((p == last) & (is_bot != 0))
         def _():
@@ -167,30 +199,40 @@ def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
             cur_tb[:, :] = ez[r0 - S : r0, :]
             ez[r0 - B : r0, 1 : M - 1] = p_b[0:B, 1 : M - 1] + coef * (
                 cur_tb[0:B, 1 : M - 1] - p_b[1:S, 1 : M - 1])
-            cblk[:, :] = ez[r0 - S : r0, 0:S]
-            ez[r0 - B : r0, 0:B] = (cblk[0:B, 0:B] + cblk[1:S, 1:S]) * 0.5
-            cblk[:, :] = ez[r0 - S : r0, M - S : M]
-            ez[r0 - B : r0, M - B : M] = (cblk[0:B, 1:S] + cblk[1:S, 0:B]) * 0.5
+
+            @pl.when(is_left != 0)
+            def _():
+                cblk[:, :] = ez[r0 - S : r0, cl : cl + S]
+                ez[r0 - B : r0, cl : cl + B] = (
+                    cblk[0:B, 0:B] + cblk[1:S, 1:S]) * 0.5
+
+            @pl.when(is_right != 0)
+            def _():
+                cblk[:, :] = ez[r0 - S : r0, cr - S : cr]
+                ez[r0 - B : r0, cr - B : cr] = (
+                    cblk[0:B, 1:S] + cblk[1:S, 0:B]) * 0.5
 
         # Additive point source: every panel whose window holds the source
-        # row adds it locally (its halo evolution needs it too); each panel
-        # writes back only its own rows, so the injection lands exactly once
-        # in the output. The row is DYNAMIC (device-varying under shard_map);
-        # Mosaic only supports ALIGNED dynamic loads, so the injection goes
-        # through an 8-row-aligned (8, 128) block with a one-hot mask.
+        # CELL (own rows/cols or halo — its halo evolution needs it too)
+        # adds it locally; each panel writes back only its own rows and the
+        # driver extracts only own columns, so the injection lands exactly
+        # once in the assembled output. Both coordinates are DYNAMIC
+        # (device-varying under shard_map); Mosaic only supports ALIGNED
+        # dynamic loads, so the injection goes through an 8-row-aligned
+        # full-width block with a one-hot mask (the (8, M) VMEM touch per
+        # step is noise next to the field updates).
         t = (t0 + i).astype(dt.dtype) * dt
         amp = _source_amp(source_kind, t, fc)
         lrow = src_g - (PH + p * PH - GH)
 
-        @pl.when((lrow >= 0) & (lrow < H))
+        @pl.when((lrow >= 0) & (lrow < H) & (src_c >= 0) & (src_c < M))
         def _():
             r8 = (lrow // 8) * 8
-            c0 = min((sy // 128) * 128, M - 128)   # static
-            rows = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-            hot = ((rows == lrow - r8) & (cols == sy - c0)).astype(ez.dtype)
-            blk = ez[pl.ds(r8, 8), c0 : c0 + 128]
-            ez[pl.ds(r8, 8), c0 : c0 + 128] = blk + amp * hot
+            rows = jax.lax.broadcasted_iota(jnp.int32, (8, M), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (8, M), 1)
+            hot = ((rows == lrow - r8) & (cols == src_c)).astype(ez.dtype)
+            blk = ez[pl.ds(r8, 8), :]
+            ez[pl.ds(r8, 8), :] = blk + amp * hot
 
         return ()
 
@@ -203,30 +245,35 @@ def _kernel(K: int, PH: int, GH: int, M: int, BOT: int, source_kind: str,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("K", "PH", "GH", "BOT", "source_kind", "sy",
+    static_argnames=("K", "PH", "GH", "BOT", "source_kind", "GW",
                      "interpret"),
 )
 def _ttiled_sweep(ezp, hxp, hyp, cep, chp, fparams, iparams, *,
                   K: int, PH: int, GH: int, BOT: int, source_kind: str,
-                  sy: int, interpret: bool = False):
-    """One K-step sweep on (PAD + N + PAD, M) ghost-padded arrays, PAD = PH.
+                  GW: int = 0, interpret: bool = False):
+    """One K-step sweep on (PAD + N + PAD, GW + Ml + GW) ghost-padded
+    arrays, PAD = PH.
 
     ``N`` here is the PADDED row count (a panel multiple); ``BOT`` is where
     the true bottom boundary sits inside the last panel (BOT = PH unless the
     caller zero-padded the domain, then BOT = PH - pad). The pad rows carry
     zero coefficients, so they evolve as zeros; the bottom Mur band is
-    applied at local rows [GH + BOT - 5, GH + BOT).
+    applied at local rows [GH + BOT - 5, GH + BOT). ``GW`` is the column
+    ghost width for column-sharded meshes (0 = no column ghosts; GW >= K
+    otherwise, one column of validity recedes per in-VMEM step).
 
-    ``iparams`` (SMEM int32, length 4): [global step offset, source row in
-    ghosted coords, is_top, is_bot]. The latter three are dynamic so the
-    sharded driver (fdtd2d_tpu/parallel/fdtd_sharded.py) can pass
-    device-varying values under shard_map — an SPMD program cannot
-    specialize them statically per device."""
+    ``iparams`` (SMEM int32, length 7): [global step offset, source row in
+    ghosted coords, is_top, is_bot, is_left, is_right, source col in
+    ghosted coords]. All but the offset are dynamic so the sharded driver
+    (fdtd2d_tpu/parallel/fdtd_sharded.py) can pass device-varying values
+    under shard_map — an SPMD program cannot specialize them statically
+    per device."""
     Npad, M = ezp.shape
     N = Npad - 2 * PH
-    assert M >= 128, f"columns M={M} below the 128-lane source-injection block"
     assert N % PH == 0, f"N={N} must be a multiple of panel height {PH}"
     assert GH >= K, f"halo GH={GH} must cover K={K} steps"
+    assert GW == 0 or GW >= K, f"column ghost GW={GW} must cover K={K} steps"
+    assert M - 2 * GW >= 2 * S, f"own columns {M - 2 * GW} below 2*{S}"
     assert GH % 8 == 0 and PH % 8 == 0
     assert PH >= GH, (
         f"PH={PH} < GH={GH}: the first panel's Element input-window offset "
@@ -243,7 +290,7 @@ def _ttiled_sweep(ezp, hxp, hyp, cep, chp, fparams, iparams, *,
         lambda p: (pl.multiple_of(PH + p * PH - GH, 8), 0))
     out_spec = pl.BlockSpec((PH, M), lambda p: (p + 1, 0))
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    kern = functools.partial(_kernel, K, PH, GH, M, BOT, source_kind, sy)
+    kern = functools.partial(_kernel, K, PH, GH, M, BOT, source_kind, GW)
 
     out = pl.pallas_call(
         kern,
@@ -325,7 +372,8 @@ def _ttiled_run(ezp, hxp, hyp, cep, chp, fparams, off, *, nsweeps: int,
     ``lax.scan`` from un-jitted code ran ~50x slower on this stack
     (260 vs 4.7 ms/sweep at 4096^2 — measured; the same scan inside jit is
     full speed), so the whole sweep loop lives behind this jit boundary."""
-    tail = jnp.asarray([PH + sx, 1, 1], jnp.int32)  # src row (ghosted), top, bot
+    # src row (ghosted), top, bot, left, right, src col (GW = 0 -> plain sy)
+    tail = jnp.asarray([PH + sx, 1, 1, 1, 1, sy], jnp.int32)
     if nsweeps > 0:
         def body(carry, k):
             ezp, hxp, hyp = carry
@@ -333,7 +381,7 @@ def _ttiled_run(ezp, hxp, hyp, cep, chp, fparams, off, *, nsweeps: int,
             ezp, hxp, hyp = _ttiled_sweep(
                 ezp, hxp, hyp, cep, chp, fparams, iparams,
                 K=K, PH=PH, GH=GH, BOT=BOT, source_kind=source_kind,
-                sy=sy, interpret=interpret)
+                interpret=interpret)
             return (ezp, hxp, hyp), None
 
         (ezp, hxp, hyp), _ = jax.lax.scan(body, (ezp, hxp, hyp),
@@ -343,7 +391,7 @@ def _ttiled_run(ezp, hxp, hyp, cep, chp, fparams, off, *, nsweeps: int,
         ezp, hxp, hyp = _ttiled_sweep(
             ezp, hxp, hyp, cep, chp, fparams, iparams,
             K=rem, PH=PH, GH=GH, BOT=BOT, source_kind=source_kind,
-            sy=sy, interpret=interpret)
+            interpret=interpret)
     return ezp, hxp, hyp
 
 

@@ -114,14 +114,17 @@ def _sharded_run(ez3, hx3, hy3, ce3, ch3, fparams, sx, *, mesh, ax, D, ln, M,
             f = f.at[PH - GH : PH].set(from_above)
             return f.at[PH + ln : PH + ln + GH].set(from_below)
 
+        one = jnp.ones((), jnp.int32)
+
         def sweep(carry, k, nk):
             ez, hx, hy = carry
             ez, hx, hy = exchange(ez), exchange(hx), exchange(hy)
             iparams = jnp.stack(
-                [(k * K).astype(jnp.int32), src_g, is_top, is_bot])
+                [(k * K).astype(jnp.int32), src_g, is_top, is_bot,
+                 one, one, jnp.asarray(sy, jnp.int32)])
             ez, hx, hy = _ttiled_sweep(
                 ez, hx, hy, ce, ch, fparams, iparams,
-                K=nk, PH=PH, GH=GH, BOT=PH, source_kind=source_kind, sy=sy,
+                K=nk, PH=PH, GH=GH, BOT=PH, source_kind=source_kind,
                 interpret=interpret)
             return ez, hx, hy
 
@@ -268,3 +271,212 @@ def simulate_sharded_ttiled(eps, mu, config, mesh: Mesh, state=None):
     ez, hx, hy = out[0].reshape(N, M), out[1].reshape(N, M), out[2].reshape(N, M)
     snaps = out[3].reshape(-1, N, M) if nframes > 0 else None
     return (ez, hx[:, : M - 1], hy[: N - 1, :]), snaps
+
+
+# ---------------------------------------------------------------------------
+# 2D-mesh variant: rows AND columns sharded, kernel speed on both axes
+# ---------------------------------------------------------------------------
+
+
+def plan_sharded_ttiled_2d(N: int, M: int, Dr: int, Dc: int):
+    """(K, GH, PH, GW) admitting the 2D-sharded ttiled path, or None.
+
+    Column ghosts GW = GH (>= K, like rows: one column of validity recedes
+    per in-VMEM step). Extra redundant compute vs 1D: the 2 GW ghost
+    columns per device, 2 GW / lm (e.g. 6% at 4096^2 on a 2x4 mesh,
+    GW = 32, lm = 1024)."""
+    if N % Dr or M % Dc:
+        return None
+    ln, lm = N // Dr, M // Dc
+    if lm < 4 * S:
+        return None
+    for K in (32, 24, 16, 8):
+        GH = max(8, -(-K // 8) * 8)
+        GW = GH
+        if lm <= 2 * GW:
+            continue
+        PH = pick_exact_panel_height(ln, lm + 2 * GW, GH)
+        if PH is not None and (K <= 16 or 2 * K / PH <= 0.25):
+            return K, GH, PH, GW
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axr", "axc", "Dr", "Dc", "ln", "lm", "M",
+                     "K", "GH", "PH", "GW", "source_kind", "nsweeps", "rem",
+                     "interpret"))
+def _sharded_run_2d(ez4, hx4, hy4, ce4, ch4, fparams, sx, sy, *, mesh, axr,
+                    axc, Dr, Dc, ln, lm, M, K, GH, PH, GW, source_kind,
+                    nsweeps, rem, interpret):
+    """One jitted SPMD program over the 2D mesh: scan of (two-phase halo
+    exchange -> K-step sweep). The column exchange runs FIRST so the row
+    exchange's full-width sends carry fresh column-ghost data into the
+    corners (the K-step in-VMEM recursion consumes a triangle of corner
+    halo, i + j <= K)."""
+
+    def local_run(ez4, hx4, hy4, ce4, ch4, fparams, sx, sy):
+        ez, hx, hy = ez4[0, 0], hx4[0, 0], hy4[0, 0]
+        ce, ch = ce4[0, 0], ch4[0, 0]
+        ir = jax.lax.axis_index(axr)
+        ic = jax.lax.axis_index(axc)
+        i32 = lambda v: v.astype(jnp.int32)
+        is_top, is_bot = i32(ir == 0), i32(ir == Dr - 1)
+        is_left, is_right = i32(ic == 0), i32(ic == Dc - 1)
+        src_g = (PH + sx - ir * ln).astype(jnp.int32)
+        src_c = (GW + sy - ic * lm).astype(jnp.int32)
+
+        fwd_r = [(i, i + 1) for i in range(Dr - 1)]
+        bwd_r = [(i + 1, i) for i in range(Dr - 1)]
+        fwd_c = [(i, i + 1) for i in range(Dc - 1)]
+        bwd_c = [(i + 1, i) for i in range(Dc - 1)]
+
+        def exchange(f):
+            if Dc > 1:
+                from_left = jax.lax.ppermute(
+                    f[:, lm : lm + GW], axc, fwd_c)
+                from_right = jax.lax.ppermute(
+                    f[:, GW : 2 * GW], axc, bwd_c)
+                f = f.at[:, 0:GW].set(from_left)
+                f = f.at[:, GW + lm : GW + lm + GW].set(from_right)
+            if Dr > 1:
+                from_above = jax.lax.ppermute(
+                    f[PH + ln - GH : PH + ln, :], axr, fwd_r)
+                from_below = jax.lax.ppermute(
+                    f[PH : PH + GH, :], axr, bwd_r)
+                f = f.at[PH - GH : PH, :].set(from_above)
+                f = f.at[PH + ln : PH + ln + GH, :].set(from_below)
+            return f
+
+        def sweep(carry, k, nk):
+            ez, hx, hy = carry
+            ez, hx, hy = exchange(ez), exchange(hx), exchange(hy)
+            iparams = jnp.stack(
+                [(k * K).astype(jnp.int32), src_g, is_top, is_bot,
+                 is_left, is_right, src_c])
+            ez, hx, hy = _ttiled_sweep(
+                ez, hx, hy, ce, ch, fparams, iparams,
+                K=nk, PH=PH, GH=GH, BOT=PH, source_kind=source_kind,
+                GW=GW, interpret=interpret)
+            return ez, hx, hy
+
+        carry = (ez, hx, hy)
+        if nsweeps > 0:
+            def body(c, j):
+                return sweep(c, j, K), None
+
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(nsweeps))
+        if rem > 0:
+            carry = sweep(carry, jnp.asarray(nsweeps), rem)
+
+        ez, hx, hy = carry
+        own = lambda f: f[None, None, PH : PH + ln, GW : GW + lm]
+        return own(ez), own(hx), own(hy)
+
+    spec = P(axr, axc, None, None)
+    f = shard_map(
+        local_run, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec, P(), P(), P()),
+        out_specs=(spec, spec, spec), check_vma=False)
+    return f(ez4, hx4, hy4, ce4, ch4, fparams, sx, sy)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("Dr", "Dc", "ln", "lm", "PH", "GW"))
+def _prep_2d(eps, mu, Ez, Hx, Hy, dt, dx, *, Dr, Dc, ln, lm, PH, GW):
+    """Coefficients + doubly-overlapped ghost blocks as ONE program.
+
+    Row context is PH deep (panel-aligned output windows, like the 1D
+    driver), column context GW deep. Coefficient ghost cells hold TRUE
+    neighbor values permanently (never exchanged); field ghost cells are
+    refreshed per sweep."""
+    from fdtd2d_tpu.fdtd.step import precompute_coefficients
+
+    dtype = Ez.dtype
+    N, M = Dr * ln, Dc * lm
+    ce, ch, coef = precompute_coefficients(eps, mu, dt, dx, dtype)
+    ce = ce.at[0, :].set(0.0).at[-1, :].set(0.0)
+    ce = ce.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    ch = jnp.pad(ch, ((0, 1), (0, 1)))
+
+    def ghost_blocks(a):
+        g = jnp.zeros((N + 2 * PH, M + 2 * GW), dtype)
+        g = g.at[PH : PH + a.shape[0], GW : GW + a.shape[1]].set(a)
+        return jnp.stack([
+            jnp.stack([g[r * ln : r * ln + ln + 2 * PH,
+                         c * lm : c * lm + lm + 2 * GW]
+                       for c in range(Dc)])
+            for r in range(Dr)])
+
+    fparams = jnp.stack([coef.astype(dtype), jnp.asarray(dt, dtype)[...],
+                         jnp.zeros((), dtype)])  # fc filled by caller
+    return (ghost_blocks(Ez), ghost_blocks(Hx), ghost_blocks(Hy),
+            ghost_blocks(ce), ghost_blocks(ch), fparams)
+
+
+def simulate_sharded_ttiled_2d(eps, mu, config, mesh: Mesh, state=None):
+    """FDTD rollout sharded over a 2D (rows x columns) device mesh, each
+    device running the temporally-tiled Pallas kernel on its block with
+    two-phase ppermute halo exchange once per K-step sweep (see
+    :func:`_sharded_run_2d`). Snapshots are not supported on this path
+    (config.nframes must be 0); returns ``((Ez, Hx, Hy), None)`` with the
+    single-device staggered shapes.
+
+    SURVEY.md section 2.3's spatial domain decomposition row in full
+    generality: 4096^2 on a 2x4 mesh admits K=32, PH=256, GW=32."""
+    dtype = jnp.float32
+    eps = jnp.asarray(eps, dtype)
+    mu = jnp.asarray(mu, dtype)
+    N, M = eps.shape
+    assert mesh.devices.ndim == 2, "use simulate_sharded_ttiled for 1D meshes"
+    if config.nframes:
+        raise ValueError("snapshots are not supported on the 2D ttiled path")
+    Dr, Dc = mesh.devices.shape
+    axr, axc = mesh.axis_names
+    plan = plan_sharded_ttiled_2d(N, M, Dr, Dc)
+    if plan is None:
+        raise ValueError(f"grid {N}x{M} over {Dr}x{Dc} devices admits no "
+                         "ttiled 2D decomposition")
+    K, GH, PH, GW = plan
+    ln, lm = N // Dr, M // Dc
+
+    gridsh = NamedSharding(mesh, P(axr, axc))
+    gput = lambda a: jax.device_put(jnp.asarray(a, dtype), gridsh)
+    eps, mu = gput(eps), gput(mu)
+    if state is None:
+        Ez = gput(jnp.zeros((N, M), dtype))
+        Hx = gput(jnp.zeros((N, M), dtype))
+        Hy = gput(jnp.zeros((N, M), dtype))
+    else:
+        Ez, Hx, Hy = state
+        # pad the staggered shapes to (N, M); the pad row/col only feeds
+        # coefficient-masked updates
+        Hx = jnp.pad(jnp.asarray(Hx, dtype), ((0, 0), (0, 1)))
+        Hy = jnp.pad(jnp.asarray(Hy, dtype), ((0, 1), (0, 0)))
+        Ez, Hx, Hy = gput(Ez), gput(Hx), gput(Hy)
+
+    sh = NamedSharding(mesh, P(axr, axc, None, None))
+    rep = NamedSharding(mesh, P())
+    dt = jnp.asarray(config.dt, dtype)
+    dxs = jnp.asarray(config.dx, dtype)
+    ez4, hx4, hy4, ce4, ch4, fparams = _prep_2d(
+        eps, mu, Ez, Hx, Hy, dt, dxs, Dr=Dr, Dc=Dc, ln=ln, lm=lm, PH=PH,
+        GW=GW)
+    put = lambda a: jax.device_put(a, sh)
+    ez4, hx4, hy4, ce4, ch4 = (put(a) for a in (ez4, hx4, hy4, ce4, ch4))
+    fparams = jax.device_put(
+        fparams.at[2].set(jnp.asarray(config.source_fc, dtype)), rep)
+    sx_arr = jax.device_put(jnp.asarray(config.source_xy[0], jnp.int32), rep)
+    sy_arr = jax.device_put(jnp.asarray(config.source_xy[1], jnp.int32), rep)
+
+    nsweeps, rem = divmod(config.nsteps, K)
+    interpret = jax.default_backend() != "tpu"
+    ez, hx, hy = _sharded_run_2d(
+        ez4, hx4, hy4, ce4, ch4, fparams, sx_arr, sy_arr, mesh=mesh,
+        axr=axr, axc=axc, Dr=Dr, Dc=Dc, ln=ln, lm=lm, M=M, K=K, GH=GH,
+        PH=PH, GW=GW, source_kind=config.source_kind, nsweeps=nsweeps,
+        rem=rem, interpret=interpret)
+    # (Dr, Dc, ln, lm) -> (Dr*ln, Dc*lm): interleave block and local axes
+    unblock = lambda a: jnp.transpose(a, (0, 2, 1, 3)).reshape(N, M)
+    ez, hx, hy = unblock(ez), unblock(hx), unblock(hy)
+    return (ez, hx[:, : M - 1], hy[: N - 1, :]), None

@@ -116,6 +116,19 @@ def simulate_sharded(eps, mu, config, mesh: Mesh, state=None):
             raise ValueError(f"grid {(N, M)} over {mesh.devices.shape[0]} "
                              "devices admits no ttiled row decomposition")
 
+    if config.backend in ("auto", "ttiled") and mesh.devices.ndim == 2:
+        from fdtd2d_tpu.parallel.fdtd_sharded import (
+            plan_sharded_ttiled_2d, simulate_sharded_ttiled_2d)
+
+        Dr, Dc = mesh.devices.shape
+        if (config.nframes == 0
+                and plan_sharded_ttiled_2d(N, M, Dr, Dc) is not None):
+            return simulate_sharded_ttiled_2d(eps, mu, config, mesh,
+                                              state=state)
+        if config.backend == "ttiled":
+            raise ValueError(f"grid {(N, M)} over a {Dr}x{Dc} mesh admits "
+                             "no ttiled 2D decomposition (or nframes > 0)")
+
     # GSPMD fallback. padded=True: uniform (N, N) field shapes shard
     # evenly — XLA's SPMD partitioner produces wrong halo values for the
     # unevenly-sharded staggered (N, N-1) shapes (observed on CPU backend)
