@@ -400,7 +400,22 @@ class DirectSolver:
                        for s in factors.subs)
         elif hps:
             # O(N^2 log N)-memory nested-dissection mode with log-depth
-            # batched solves (fdfd/hps.py); power-of-two grids only
+            # batched solves (fdfd/hps.py); power-of-two grids only.
+            # RESEARCH MODE, 1024^2-capped: raw c64 error grows ~10x per
+            # grid doubling (near-resonant interface Schur systems —
+            # fdfd/hps.py module docstring), so at 2048^2+ refinement
+            # cannot contract and the checkpointed/HODLR modes are the
+            # exact options past the block-Thomas memory wall.
+            if max(np.asarray(eps).shape) > 1024:
+                import warnings
+
+                warnings.warn(
+                    "DirectSolver(hps=True) is past its measured c64 "
+                    f"accuracy wall (grid {np.asarray(eps).shape}, wall "
+                    "1024^2: raw error grows ~10x/doubling and refinement "
+                    "stalls at 2048^2) — use checkpointed=True or "
+                    "compressed=True for exact solves at this size",
+                    RuntimeWarning, stacklevel=2)
             from fdtd2d_tpu.fdfd import hps as _hps
 
             factors = _hps.hps_factor(self.op, m=hps_leaf)
