@@ -17,6 +17,9 @@ invisible to the driver. This suite covers the solver stack:
     tiled1024approx  same scene solved to the REFERENCE's accuracy class
                  (1e-2 relative residual, no refinement) — the direct
                  apples-to-apples row against its ~3 s claim
+    timedomain4096  frequency-locked time-domain solve at the round-3
+                 iterative stall point (4096^2 / 17 GHz, ~232 wavelengths,
+                 contrast 1.5), warm repeat to 1e-6 TRUE residual, seconds
     datagen      vmapped on-device surrogate datagen (exact direct labels),
                  samples/s
     trainstep    diffusion-surrogate train step, ms (batch 8 @ 256^2):
@@ -47,6 +50,7 @@ import numpy as np
 FDTD_BASELINE = 0.0177          # GCells/s, reference NumPy kernels (BASELINE.md)
 FDFD512_BASELINE_S = 7.1        # scipy spsolve at 512^2 (BASELINE.md)
 TILED1024_BASELINE_S = 3.0      # reference ~3 s APPROXIMATE tiled solve at 1000^2
+TD4096_TRANSITS = 2.5           # timedomain settle budget (tuned on chip)
 DATAGEN_BASELINE_SPS = 1.0 / 0.72  # reference: one 256^2 spsolve per sample
 # reference's own torch train step (UNet2DModel fwd+bwd+AdamW, batch 8 at
 # 256^2) measured in this container on CPU 2026-08-19 (BASELINE.md; the
@@ -272,6 +276,36 @@ def bench_tiled1024_approx(on_tpu):
             "vs_baseline": round(TILED1024_BASELINE_S / dt, 2)}
 
 
+
+
+def bench_timedomain4096(on_tpu):
+    """Wavelength-robust solve at the round-3 stall point: 4096^2 / 17 GHz
+    (~232 wavelengths across), contrast 1.5 — where the two-level ORAS
+    tiled solver stalls near 6e-2 relative residual (fdfd/tiled.py) and
+    the stored-factor direct modes exceed one chip's HBM. The frequency-
+    locked time-domain solver (fdfd/timedomain.py) needs NO stored
+    factors; warm repeat solve (build excluded) to 1e-6 TRUE f64
+    residual. vs_baseline is null: the reference has no solver that
+    reaches this size at all (its spsolve hits the LU fill-in wall at
+    ~1000^2, README.md:135)."""
+    from fdtd2d_tpu.fdfd.timedomain import TimeDomainSolver
+
+    N, omega = (4096, 17e9) if on_tpu else (192, 30e9)
+    dx = 1e-3
+    eps, mu, src = _block_scene(N, contrast=1.5)
+    solver = TimeDomainSolver(eps, mu, dx, dx, omega,
+                              transits=TD4096_TRANSITS if on_tpu else 4.0)
+    _, trace = solver.solve(src, refine_target=1e-6)   # compile + warm
+    t0 = time.perf_counter()
+    _, trace = solver.solve(src, refine_target=1e-6)
+    dt = time.perf_counter() - t0
+    assert trace[-2] < 1e-6, f"timedomain did not converge: {trace}"
+    return {"metric": f"timedomain_{N}sq_warm_solve", "value": round(dt, 2),
+            "unit": "s", "vs_baseline": None,
+            "steps_per_apply": solver.steps_per_apply,
+            "rounds": len(trace) - 2}
+
+
 def bench_datagen(on_tpu):
     import jax
 
@@ -361,6 +395,7 @@ BENCHES = [
     ("direct1024", bench_direct1024),
     ("tiled1024", bench_tiled1024),
     ("tiled1024approx", bench_tiled1024_approx),
+    ("timedomain4096", bench_timedomain4096),
     ("datagen", bench_datagen),
     ("trainstep", bench_trainstep),
     ("fdtd2048", bench_fdtd2048),
