@@ -199,7 +199,8 @@ def cmd_train(args):
                       prediction_type=args.prediction_type,
                       t_sampling=args.t_sampling,
                       loss_weighting=args.weighting,
-                      ema_decay=args.ema_decay, augment=args.augment)
+                      ema_decay=args.ema_decay, augment=args.augment,
+                      ckpt_every=args.ckpt_every)
     print(f"recipe: prediction_type={cfg.prediction_type} "
           f"t_sampling={cfg.t_sampling} weighting={cfg.loss_weighting} "
           f"ema_decay={cfg.ema_decay} augment={cfg.augment}")
@@ -425,6 +426,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="exact D4 scene/field augmentation: random "
                         "flip/rotation per sample, up to 8x the effective "
                         "unique-scene count (models/augment.py)")
+    f.add_argument("--ckpt-every", type=int, default=10,
+                   help="checkpoint cadence in epochs; lower it for long "
+                        "runs on a flaky device so a crash-resume loses "
+                        "less work (resume is automatic from --ckpt-dir)")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")

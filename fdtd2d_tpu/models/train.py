@@ -599,6 +599,23 @@ def train(key, data: dict, config: TrainConfig,
     elif compact:
         from fdtd2d_tpu.models import datagen as _dg
 
+        # 4 B/px device footprint (uint8 eps + uint8 src + f16 Ez) PLUS the
+        # model/optimizer/activations (~2-3 GB for the batch-8 256² UNet).
+        # Measured on the 16 GB v5e: a 51,200-scene 256² cache (13.4 GB)
+        # crashes the TPU worker outright (not a Python OOM — the process
+        # dies at the first blocking fetch). Warn before that happens so the
+        # caller can subset the shard dir or fall back to --stream-chunk.
+        cache_bytes = int(raw["Ez"].shape[0]) * int(
+            np.prod(raw["Ez"].shape[1:])) * 4 + raw["omega"].shape[0] * 4
+        if cache_bytes > 11e9:
+            import warnings
+
+            warnings.warn(
+                f"compact device cache needs {cache_bytes / 1e9:.1f} GB of "
+                "HBM before model/optimizer/activations; past ~11 GB on a "
+                "16 GB chip the TPU worker has been observed to crash. "
+                "Train on a subset (fewer shards) or use stream_chunk.",
+                stacklevel=2)
         if ckpt_scales is not None:
             scales = ckpt_scales
         else:
