@@ -212,7 +212,26 @@ def train_epoch(state: TrainState, schedule: DDPMSchedule, key, data: dict,
         # ``affine`` decodes binary uint8 masks back to their two values;
         # ``const`` materializes constant channels (e.g. uniform mu) that
         # are not stored at all.
-        batch = {name: v[idx].astype(jnp.float32) for name, v in data.items()}
+        batch = {name: v[idx].astype(jnp.float32) for name, v in data.items()
+                 if name not in ("eps_bits", "src_box")}
+        if "eps_bits" in data:
+            # bit-packed binary eps mask (np.packbits, big-endian: first
+            # pixel in the MSB); unpacked per batch with shifts — 1/8 the
+            # HBM of a uint8 mask. ``affine`` then maps 0/1 -> EPS_LO/HI.
+            bits = data["eps_bits"][idx]                      # (B,H,W//8) u8
+            shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)   # MSB first
+            px = (bits[..., None] >> shifts) & jnp.uint8(1)
+            batch["eps"] = px.reshape((batch_size,) + hw).astype(jnp.float32)
+        if "src_box" in data:
+            # the datagen sources are axis-aligned segments or points
+            # (datagen.random_source), so an inclusive bounding box
+            # (r0, r1, c0, c1) IS the mask — 8 B/scene instead of H*W.
+            box = data["src_box"][idx].astype(jnp.int32)      # (B, 4)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (batch_size,) + hw, 1)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (batch_size,) + hw, 2)
+            r0, r1, c0, c1 = (box[:, i, None, None] for i in range(4))
+            batch["src"] = ((rows >= r0) & (rows <= r1) &
+                            (cols >= c0) & (cols <= c1)).astype(jnp.float32)
         for name, (sc, off) in affine.items():
             batch[name] = batch[name] * sc + off
         for name, c in const.items():
@@ -599,23 +618,6 @@ def train(key, data: dict, config: TrainConfig,
     elif compact:
         from fdtd2d_tpu.models import datagen as _dg
 
-        # 4 B/px device footprint (uint8 eps + uint8 src + f16 Ez) PLUS the
-        # model/optimizer/activations (~2-3 GB for the batch-8 256² UNet).
-        # Measured on the 16 GB v5e: a 51,200-scene 256² cache (13.4 GB)
-        # crashes the TPU worker outright (not a Python OOM — the process
-        # dies at the first blocking fetch). Warn before that happens so the
-        # caller can subset the shard dir or fall back to --stream-chunk.
-        cache_bytes = int(raw["Ez"].shape[0]) * int(
-            np.prod(raw["Ez"].shape[1:])) * 4 + raw["omega"].shape[0] * 4
-        if cache_bytes > 11e9:
-            import warnings
-
-            warnings.warn(
-                f"compact device cache needs {cache_bytes / 1e9:.1f} GB of "
-                "HBM before model/optimizer/activations; past ~11 GB on a "
-                "16 GB chip the TPU worker has been observed to crash. "
-                "Train on a subset (fewer shards) or use stream_chunk.",
-                stacklevel=2)
         if ckpt_scales is not None:
             scales = ckpt_scales
         else:
@@ -647,15 +649,51 @@ def train(key, data: dict, config: TrainConfig,
         inv = np.float32(1.0 / float(scales["Ez"]))
         for c0 in range(0, ez16.shape[0], 4096):
             ez16[c0:c0 + 4096] = np.asarray(raw["Ez"][c0:c0 + 4096]) * inv
-        arrays = {
-            "eps": jnp.asarray(np.ascontiguousarray(raw["eps_mask"])),
-            "src": jnp.asarray(np.ascontiguousarray(raw["src_mask"])),
-            "omega": jnp.asarray(
-                np.asarray(raw["omega"], np.float32)
-                / np.float32(float(scales["omega"]))),
-            "Ez": jnp.asarray(ez16),
+        host = {
+            "omega": (np.asarray(raw["omega"], np.float32)
+                      / np.float32(float(scales["omega"]))),
+            "Ez": ez16,
         }
-        del ez16
+        # v2 encodings (r4): bit-packed eps + parametric source boxes cut
+        # the cache from 4 B/px to 2.125 B/px — measured on the 16 GB v5e,
+        # the 4 B/px cache crashes the TPU worker during epoch 1 from
+        # 32k 256² scenes up (8.6 GB cache + ~3 GB model/opt/activations),
+        # while 2.125 B/px holds the full 50k-scene dataset in ~7 GB.
+        eps_mask = np.ascontiguousarray(raw["eps_mask"])
+        H, W = eps_mask.shape[1:]
+        if W % 8 == 0:
+            host["eps_bits"] = np.packbits(eps_mask, axis=-1)
+        else:
+            host["eps"] = eps_mask
+        src_mask = np.asarray(raw["src_mask"])
+        rows_any = src_mask.any(axis=2)
+        cols_any = src_mask.any(axis=1)
+        r0 = rows_any.argmax(1)
+        r1 = H - 1 - rows_any[:, ::-1].argmax(1)
+        c0 = cols_any.argmax(1)
+        c1 = W - 1 - cols_any[:, ::-1].argmax(1)
+        area = (r1 - r0 + 1).astype(np.int64) * (c1 - c0 + 1)
+        boxy = bool(np.all(src_mask.any(axis=(1, 2)) &
+                           (area == src_mask.sum(axis=(1, 2),
+                                                 dtype=np.int64))))
+        if boxy:
+            host["src_box"] = np.stack([r0, r1, c0, c1], 1).astype(np.uint16)
+        else:
+            # a source that is not an axis-aligned box (future datasets):
+            # fall back to the full uint8 mask
+            host["src"] = np.ascontiguousarray(src_mask)
+        cache_bytes = sum(a.nbytes for a in host.values())
+        if cache_bytes > 11e9:
+            import warnings
+
+            warnings.warn(
+                f"compact device cache needs {cache_bytes / 1e9:.1f} GB of "
+                "HBM before model/optimizer/activations; past ~11 GB on a "
+                "16 GB chip the TPU worker has been observed to crash. "
+                "Train on a subset (fewer shards) or use stream_chunk.",
+                stacklevel=2)
+        arrays = {k: jnp.asarray(v) for k, v in host.items()}
+        del ez16, host
     elif device_dtype is not None:
         scales = ckpt_scales or (compute_scales_host(raw)
                                  if isinstance(raw["Ez"], np.ndarray)

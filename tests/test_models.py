@@ -694,3 +694,83 @@ def test_resume_without_ema_decay_drops_stale_ema(tmp_path):
     with pytest.warns(UserWarning, match="discarding the stored EMA"):
         state2, _, _ = train(KEY, data, cfg_plain)
     assert state2.ema_params is None
+
+
+def test_compact_v2_decode_parity():
+    """The v2 compact cache entries (bit-packed ``eps_bits``, parametric
+    ``src_box``) must decode to EXACTLY the batches the v1 uint8 masks
+    produce: identical loss for the same key, with and without augment."""
+    from fdtd2d_tpu.models.train import (TrainConfig, create_state,
+                                         train_epoch)
+    from fdtd2d_tpu.models.diffusion import DDPMSchedule
+
+    n, H = 8, 32
+    rng = np.random.default_rng(3)
+    eps_mask = (rng.random((n, H, H)) > 0.5).astype(np.uint8)
+    src_mask = np.zeros((n, H, H), np.uint8)
+    box = np.zeros((n, 4), np.uint16)
+    for i in range(n):
+        r = rng.integers(4, H - 8)
+        c = rng.integers(4, H - 8)
+        if i % 2:  # horizontal 5-px line
+            src_mask[i, r, c:c + 5] = 1
+            box[i] = (r, r, c, c + 4)
+        else:      # point
+            src_mask[i, r, c] = 1
+            box[i] = (r, r, c, c)
+    ez16 = rng.standard_normal((n, H, H)).astype(np.float16)
+    omega = np.full((n,), 1.2, np.float32)
+
+    v1 = {"eps": jnp.asarray(eps_mask), "src": jnp.asarray(src_mask),
+          "omega": jnp.asarray(omega), "Ez": jnp.asarray(ez16)}
+    v2 = {"eps_bits": jnp.asarray(np.packbits(eps_mask, axis=-1)),
+          "src_box": jnp.asarray(box),
+          "omega": jnp.asarray(omega), "Ez": jnp.asarray(ez16)}
+
+    cfg = TrainConfig(batch_size=4, num_train_timesteps=20)
+    schedule = DDPMSchedule.create(cfg.num_train_timesteps)
+    affine = {"eps": (2.0, 1.0)}
+    const = {"mu": 1.0}
+    perm = jnp.arange(n)
+    for augment in (False, True):
+        losses = []
+        for data in (v1, v2):
+            state = create_state(jax.random.PRNGKey(2), (H, H), cfg,
+                                 model=_tiny_model())
+            _, loss = train_epoch(state, schedule, jax.random.PRNGKey(5),
+                                  data, perm, batch_size=4,
+                                  prediction_type="x0",
+                                  t_sampling="uniform", weighting="uniform",
+                                  augment=augment,
+                                  affine=affine, const=const)
+            losses.append(float(loss))
+        assert losses[0] == losses[1], (augment, losses)
+
+
+def test_compact_v2_nonboxy_fallback(tmp_path):
+    """A source mask that is NOT an axis-aligned box (diagonal) must fall
+    back to the full uint8 mask path and still train."""
+    from fdtd2d_tpu.models import datagen as dg
+    from fdtd2d_tpu.models.train import TrainConfig, create_state, train
+
+    n, H = 8, 32
+    rng = np.random.default_rng(4)
+    mask = rng.random((n, H, H)) > 0.5
+    data = {
+        "eps": np.where(mask, np.float32(dg.EPS_HI), np.float32(dg.EPS_LO)),
+        "mu": np.full((n, H, H), dg.MU_REF, np.float32),
+        "src": np.zeros((n, H, H), np.float32),
+        "omega": np.full((n,), 2.4e10, np.float32),
+        "Ez": rng.standard_normal((n, H, H)).astype(np.float32),
+    }
+    for i in range(n):  # diagonal source: bounding-box area != pixel count
+        data["src"][i, 10 + np.arange(4), 10 + np.arange(4)] = 1.0
+    p = str(tmp_path / "diag.npz")
+    dg.save_dataset(p, data, compact=True)
+    raw = dg.load_dataset(p, decode=False)
+    cfg = TrainConfig(batch_size=4, num_epochs=1, num_train_timesteps=20)
+    state, losses, _ = train(
+        jax.random.PRNGKey(0), raw, cfg, device_dtype="compact",
+        state=create_state(jax.random.PRNGKey(2), (H, H), cfg,
+                           model=_tiny_model()))
+    assert len(losses) == 1 and np.isfinite(losses[0])
