@@ -27,6 +27,7 @@ from typing import Callable, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fdtd2d_tpu.ops.splitc import (
     HelmholtzF64, Split, require_x64, saxpy, snorm, split_from_complex,
@@ -125,3 +126,79 @@ def refine(
         rc, rn = _residual_step(op64, b, x, inner_dtype=inner_dtype)
         trace.append(float(rn) / bn)
     return RefineResult(x, jnp.asarray(trace[-1]), rounds, trace)
+
+
+class BatchRefineResult(NamedTuple):
+    x: Split                       # (B, Nx, Ny) split-complex f64 solutions
+    relative_residual: jax.Array   # (B,) true f64 relative residual each
+    rounds: int
+    trace: List[float]             # MAX-over-batch relative residual/round
+
+
+@partial(jax.jit, static_argnames=("inner_dtype",))
+def _residual_step_batched(op64: HelmholtzF64, b: Split, x: Split,
+                           *, inner_dtype=jnp.complex64):
+    """Batched twin of :func:`_residual_step`: fields are (B, Nx, Ny),
+    norms are per-sample. One fused f64 pass for the whole batch."""
+    r = jax.vmap(op64.residual)(b, x)
+    rn = jnp.sqrt(jnp.sum(r.re * r.re + r.im * r.im, axis=(1, 2)))
+    safe = jnp.where(rn == 0, 1.0, rn)[:, None, None]
+    rc = split_to_complex(Split(r.re / safe, r.im / safe), inner_dtype)
+    return rc, rn
+
+
+@jax.jit
+def _update_batched(x: Split, rn, d) -> Split:
+    ds = split_from_complex(d, jnp.float64)
+    return saxpy(rn[:, None, None], ds, x)
+
+
+def refine_batched(
+    op64: HelmholtzF64,
+    b: Split,
+    inner_solve: Callable[[jax.Array], jax.Array],
+    *,
+    target: float = 1e-9,
+    max_rounds: int = 8,
+    inner_dtype=jnp.complex64,
+) -> BatchRefineResult:
+    """Refine a BATCH of right-hand sides ``A x_i = b_i`` jointly.
+
+    ``b``: a :class:`Split` with (B, Nx, Ny) parts (same operator, many
+    sources — the build-once/solve-many sweep pattern). ``inner_solve``
+    must map a (B, Nx, Ny) c64 batch to corrections, e.g.
+    ``jax.jit(jax.vmap(single_rhs_solve))``. The refinement loop runs until
+    the WORST sample meets ``target`` (or the worst-case residual
+    stagnates); per-round cost is one batched f64 residual kernel plus one
+    batched inner solve, so the per-sample cost of a B-way sweep approaches
+    the inner solve's marginal batched cost rather than B full solves."""
+    require_x64()
+    if b.re.ndim != 3:
+        raise ValueError(f"refine_batched wants (B, Nx, Ny) parts, "
+                         f"got {b.re.shape}")
+    B = b.re.shape[0]
+    z = jnp.zeros(b.re.shape, jnp.float64)
+    x = Split(z, z)
+    bn = jnp.sqrt(jnp.sum(b.re * b.re + b.im * b.im, axis=(1, 2)))
+    bn_safe = np.where(np.asarray(bn) == 0.0, 1.0, np.asarray(bn))
+
+    trace: List[float] = []
+    prev = float("inf")
+    rounds = 0
+    for k in range(max_rounds):
+        rc, rn = _residual_step_batched(op64, b, x, inner_dtype=inner_dtype)
+        rel = np.asarray(rn) / bn_safe
+        worst = float(rel.max()) if B else 0.0
+        trace.append(worst)
+        if worst <= target or worst >= 0.9 * prev:
+            break
+        prev = worst
+        d = inner_solve(rc)
+        x = _update_batched(x, rn, d)
+        rounds = k + 1
+    else:
+        _, rn = _residual_step_batched(op64, b, x, inner_dtype=inner_dtype)
+        trace.append(float((np.asarray(rn) / bn_safe).max()) if B else 0.0)
+    _, rn = _residual_step_batched(op64, b, x, inner_dtype=inner_dtype)
+    rel = jnp.asarray(np.asarray(rn) / bn_safe)
+    return BatchRefineResult(x, rel, rounds, trace)

@@ -312,3 +312,31 @@ def test_direct_sharded_compressed_matches_single_device():
     rel2 = float(jnp.linalg.norm(got.astype(jnp.complex128) - exact)
                  / jnp.linalg.norm(exact))
     assert rel2 < 1e-2, f"sharded compressed vs exact: {rel2:.2e}"
+
+
+def test_solve_batched_matches_single_rhs():
+    """solve_batched (one factorization, many sources, joint refinement)
+    matches per-source solve() fields and meets the target per sample —
+    for both the stored-W and HODLR-compressed factor modes."""
+    N, dx, omega = 64, 1e-3, 24e9
+    eps, mu, src0 = _hard_scene(N)
+    rng = np.random.default_rng(7)
+    srcs = np.zeros((3, N, N), np.complex128)
+    srcs[0] = np.asarray(src0)
+    for i in (1, 2):
+        r, c = rng.integers(16, N - 16, 2)
+        srcs[i, r, c] = 1.0
+
+    for kw in ({}, {"compressed": True, "rank": 8, "leaf": 16}):
+        solver = DirectSolver(eps, mu, dx, dx, omega, pml_thickness=12,
+                              dtype=jnp.complex64, **kw)
+        xb, per_sample, trace = solver.solve_batched(srcs,
+                                                     refine_target=1e-8)
+        assert xb.shape == (3, N, N)
+        assert np.all(np.asarray(per_sample) < 1e-8), per_sample
+        assert trace[-1] < 1e-8
+        for i in range(3):
+            xi, _ = solver.solve(srcs[i], refine_target=1e-8)
+            num = np.linalg.norm(np.asarray(xb[i]) - np.asarray(xi))
+            den = np.linalg.norm(np.asarray(xi))
+            assert num / den < 1e-5, (kw, i, num / den)
