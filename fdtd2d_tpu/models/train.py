@@ -89,6 +89,16 @@ class TrainConfig:
     # effective unique-scene count — the measured binding constraint on
     # surrogate quality — at zero datagen cost. Valid for square scenes.
     augment: bool = False
+    # cap on train steps per device dispatch. Whole-epoch single dispatches
+    # are the fastest on a healthy chip, but on the tunneled TPU every run
+    # whose epoch program exceeded ~4 device-minutes died with "TPU worker
+    # process crashed" at the first blocking fetch (measured: 10k-scene
+    # epochs = 72 s always fine; 32k = 4.4 min and 50k = 6.5 min crashed on
+    # every attempt, at BOTH 4 B/px and 2.125 B/px cache sizes — so not
+    # HBM pressure). 1024 batch-8 256^2 UNet steps = ~70 s per dispatch.
+    # Epochs split into equal chunks (identical shapes -> one compile);
+    # datasets small enough for one chunk keep the exact legacy key path.
+    max_dispatch_steps: int = 1024
 
 
 def create_state(key, shape: Tuple[int, int], config: TrainConfig,
@@ -754,16 +764,38 @@ def train(key, data: dict, config: TrainConfig,
             mean_loss = float(np.mean(chunk_losses))
         else:
             perm = jax.random.permutation(k_perm, n)
-            state, mean_loss = train_epoch(state, schedule, k_epoch, arrays, perm,
-                                           batch_size=config.batch_size,
-                                           snr_gamma=config.snr_weight_gamma,
-                                           t_gamma=config.timestep_gamma,
-                                           prediction_type=config.prediction_type,
-                                           t_sampling=config.t_sampling,
-                                           weighting=config.loss_weighting,
-                                           ema_decay=config.ema_decay,
-                                           augment=config.augment,
-                                           affine=affine, const=const)
+            ep_kwargs = dict(batch_size=config.batch_size,
+                             snr_gamma=config.snr_weight_gamma,
+                             t_gamma=config.timestep_gamma,
+                             prediction_type=config.prediction_type,
+                             t_sampling=config.t_sampling,
+                             weighting=config.loss_weighting,
+                             ema_decay=config.ema_decay,
+                             augment=config.augment,
+                             affine=affine, const=const)
+            nb_total = n // config.batch_size
+            n_chunks = max(1, -(-nb_total //
+                                max(1, config.max_dispatch_steps)))
+            if n_chunks == 1:
+                state, mean_loss = train_epoch(state, schedule, k_epoch,
+                                               arrays, perm, **ep_kwargs)
+            else:
+                # split the epoch into equal-size dispatch chunks (identical
+                # shapes -> one compile; the < n_chunks leftover steps are
+                # dropped, different ones each epoch — see
+                # TrainConfig.max_dispatch_steps for why whole-epoch
+                # dispatches are fatal on the tunneled TPU). Fetching each
+                # chunk loss keeps every device window short.
+                chunk_steps = nb_total // n_chunks
+                span = chunk_steps * config.batch_size
+                closses = []
+                for ci in range(n_chunks):
+                    k_epoch, k_chunk = jax.random.split(k_epoch)
+                    cperm = perm[ci * span:(ci + 1) * span]
+                    state, cl = train_epoch(state, schedule, k_chunk,
+                                            arrays, cperm, **ep_kwargs)
+                    closses.append(float(cl))
+                mean_loss = float(np.mean(closses))
         losses.append(float(mean_loss))
         if callback:
             callback(epoch, losses[-1], state)

@@ -774,3 +774,19 @@ def test_compact_v2_nonboxy_fallback(tmp_path):
         state=create_state(jax.random.PRNGKey(2), (H, H), cfg,
                            model=_tiny_model()))
     assert len(losses) == 1 and np.isfinite(losses[0])
+
+
+def test_epoch_dispatch_chunking():
+    """max_dispatch_steps splits an epoch into equal-size dispatch chunks
+    (the tunneled-TPU long-dispatch guard); loss stays finite and the
+    state advances identically in shape to the single-dispatch path."""
+    from fdtd2d_tpu.models.train import TrainConfig, train
+
+    data = {k: np.asarray(v) for k, v in _tiny_data(n=16).items()}
+    cfg = TrainConfig(batch_size=4, num_epochs=2, num_train_timesteps=20,
+                      max_dispatch_steps=2)  # nb_total=4 -> 2 chunks of 2
+    state, losses, _ = train(
+        jax.random.PRNGKey(0), data, cfg,
+        state=create_state(jax.random.PRNGKey(2), (32, 32), cfg,
+                           model=_tiny_model()))
+    assert len(losses) == 2 and all(np.isfinite(losses))
