@@ -200,7 +200,8 @@ def cmd_train(args):
                       t_sampling=args.t_sampling,
                       loss_weighting=args.weighting,
                       ema_decay=args.ema_decay, augment=args.augment,
-                      ckpt_every=args.ckpt_every)
+                      ckpt_every=args.ckpt_every,
+                      max_dispatch_steps=args.max_dispatch_steps)
     print(f"recipe: prediction_type={cfg.prediction_type} "
           f"t_sampling={cfg.t_sampling} weighting={cfg.loss_weighting} "
           f"ema_decay={cfg.ema_decay} augment={cfg.augment}")
@@ -430,6 +431,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint cadence in epochs; lower it for long "
                         "runs on a flaky device so a crash-resume loses "
                         "less work (resume is automatic from --ckpt-dir)")
+    f.add_argument("--max-dispatch-steps", type=int, default=1024,
+                   help="cap on train steps per device dispatch; whole-"
+                        "epoch dispatches past ~4 device-minutes crash the "
+                        "tunneled TPU worker (TrainConfig.max_dispatch_steps)")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")
