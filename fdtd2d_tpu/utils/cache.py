@@ -28,13 +28,24 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     env = os.environ.get("FDTD2D_CACHE_DIR")
     if env == "0":
         return None
+
+    import jax
+
+    if path is None and env is None and jax.default_backend() == "cpu":
+        # default-enable only where the cache pays for itself: the remote
+        # TPU compile service (minutes-long first compiles). On CPU the
+        # persistent cache is a hazard, not a win — XLA:CPU serializes
+        # machine-specific AOT executables whose cross-machine loads warn
+        # "could lead to execution errors such as SIGILL", and a cache
+        # WRITE segfaulted the full test suite in this container (pytest
+        # 2026-08-19: crash in compilation_cache.put_executable_and_time).
+        # Opt in explicitly via the arg or FDTD2D_CACHE_DIR if wanted.
+        return None
     path = path or env or _DEFAULT
     try:
         os.makedirs(path, exist_ok=True)
     except OSError:
         return None
-
-    import jax
 
     jax.config.update("jax_compilation_cache_dir", path)
     # cache even fast compiles: the tunnel round-trip makes every remote

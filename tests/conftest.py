@@ -9,6 +9,13 @@ Note: a pytest plugin imports jax before this conftest runs, so env vars
 works any time before backend initialization.
 """
 
+import os
+
+# hermetic tests: never touch the persistent compile cache (CPU AOT cache
+# writes segfaulted the suite in this container; loads risk SIGILL across
+# machine types — see utils/cache.py)
+os.environ["FDTD2D_CACHE_DIR"] = "0"
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
