@@ -17,6 +17,8 @@ invisible to the driver. This suite covers the solver stack:
     tiled1024approx  same scene solved to the REFERENCE's accuracy class
                  (1e-2 relative residual, no refinement) — the direct
                  apples-to-apples row against its ~3 s claim
+    direct1024batched  amortized per-source exact solve: one factorization,
+                 16-source sweep via solve_batched, seconds/source
     timedomain4096  frequency-locked time-domain solve at the round-3
                  iterative stall point (4096^2 / 17 GHz, ~232 wavelengths,
                  contrast 1.5), warm repeat to 1e-6 TRUE residual, seconds
@@ -50,6 +52,10 @@ import numpy as np
 FDTD_BASELINE = 0.0177          # GCells/s, reference NumPy kernels (BASELINE.md)
 FDFD512_BASELINE_S = 7.1        # scipy spsolve at 512^2 (BASELINE.md)
 TILED1024_BASELINE_S = 3.0      # reference ~3 s APPROXIMATE tiled solve at 1000^2
+# reference exact solve at 1000^2: ~20 s spsolve per SOURCE (README.md:135;
+# scipy.sparse.linalg.spsolve re-factors on every call, so a source sweep
+# pays the full ~20 s each time — reference fdfd.py:112)
+DIRECT1024_BASELINE_S = 20.0
 TD4096_TRANSITS = 2.5           # timedomain settle budget (tuned on chip)
 DATAGEN_BASELINE_SPS = 1.0 / 0.72  # reference: one 256^2 spsolve per sample
 # reference's own torch train step (UNet2DModel fwd+bwd+AdamW, batch 8 at
@@ -230,6 +236,33 @@ def bench_direct1024(on_tpu):
             "vs_baseline": round(TILED1024_BASELINE_S / dt, 2)}
 
 
+def bench_direct1024_batched(on_tpu):
+    """Amortized per-source exact solve on the HARD binary scene: one stored
+    factorization, a 16-source sweep through DirectSolver.solve_batched
+    (one joint batched f64 refinement loop — the build-once/solve-many
+    pattern the reference pays ~20 s/source for, since spsolve re-factors
+    on every call, reference fdfd.py:112). Reports seconds PER SOURCE."""
+    from fdtd2d_tpu.fdfd.direct import DirectSolver
+
+    N, omega, B = (1024, 17e9, 16) if on_tpu else (128, 17e9, 4)
+    dx = 1e-3
+    eps, mu, src = _contrast_scene(N)
+    rng = np.random.default_rng(0)
+    ij = rng.integers(N // 4, 3 * N // 4, size=(B, 2))
+    srcs = np.zeros((B, N, N))
+    srcs[np.arange(B), ij[:, 0], ij[:, 1]] = 1.0
+    solver = DirectSolver(eps, mu, dx, dx, omega)
+    _, res, _ = solver.solve_batched(srcs, refine_target=1e-6)  # compile+warm
+    t0 = time.perf_counter()
+    _, res, _ = solver.solve_batched(srcs, refine_target=1e-6)
+    dt = (time.perf_counter() - t0) / B
+    worst = float(np.max(np.asarray(res)))
+    assert worst < 1e-5, f"batched direct solve did not converge: {worst}"
+    return {"metric": f"direct_{N}sq_batched{B}_warm_per_source",
+            "value": round(dt, 3), "unit": "s",
+            "vs_baseline": round(DIRECT1024_BASELINE_S / dt, 1)}
+
+
 def bench_tiled1024(on_tpu):
     """Two-level tiled warm solve at 1024^2, contrast 1.5 (see _block_scene
     for the measured boundary). vs_baseline compares against the reference's
@@ -393,6 +426,7 @@ BENCHES = [
     ("fdfd512", bench_fdfd512),
     ("fdfd512iter", bench_fdfd512_iter),
     ("direct1024", bench_direct1024),
+    ("direct1024batched", bench_direct1024_batched),
     ("tiled1024", bench_tiled1024),
     ("tiled1024approx", bench_tiled1024_approx),
     ("timedomain4096", bench_timedomain4096),
