@@ -16,8 +16,7 @@ import numpy as np
 
 DEFAULT = [
     ("10k scenes, 100 ep (r3 banked)", "assets/surrogate_x0/holdout_report.npz"),
-    ("50k scenes, seed 0", "assets/surrogate_50k_s0/holdout_report.npz"),
-    ("50k scenes, seed 1", "assets/surrogate_50k_s1/holdout_report.npz"),
+    ("16k scenes, seed 0 (r4)", "assets/surrogate_16k_s0/holdout_report.npz"),
 ]
 
 
