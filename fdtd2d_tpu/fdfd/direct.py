@@ -393,6 +393,7 @@ class DirectSolver:
             omegas = _comp.make_test_matrices(nc, L, rank, dtype=dtype)
             factors = _comp.factor_compressed(self.op, omegas, L=L)
             self._solve_fn = lambda r: _comp.solve_compressed(factors, r)
+            self._solve_base = (_comp.solve_compressed, factors)
             self.compressed_bytes = _comp.compressed_bytes(factors)
             # leaf blocks carry W's dominant entries; good enough for the
             # element-growth diagnostic
@@ -420,6 +421,7 @@ class DirectSolver:
 
             factors = _hps.hps_factor(self.op, m=hps_leaf)
             self._solve_fn = lambda r: _hps.hps_solve(factors, r)
+            self._solve_base = (_hps.hps_solve, factors)
             self.hps_bytes = _hps.factor_bytes(factors)
             # the c64 HPS solve contracts ~0.5/round at 1024^2 (near-
             # resonant interface Schur systems, see fdfd/hps.py) — it
@@ -431,10 +433,12 @@ class DirectSolver:
             # rows; each solve re-runs the inversion recursion twice
             subs = factor_checkpointed(self.op, stride=stride)
             self._solve_fn = lambda r: solve_checkpointed(subs, r)
+            self._solve_base = (solve_checkpointed, subs)
             wmax = max(float(jnp.max(jnp.abs(s.Wc))) for s in subs)
         else:
             factors = factor(self.op)
             self._solve_fn = lambda r: solve_factored(factors, r)
+            self._solve_base = (solve_factored, factors)
             wmax = max(float(jnp.max(jnp.abs(s.Ws))) for s in factors.subs)
         # element-growth diagnostic for the pivotless recursion: ||W||_max
         # scaled by the operator's diagonal magnitude. O(1..1e3) is healthy
@@ -517,7 +521,16 @@ class DirectSolver:
         scale = (-1j * self.omega) if rhs_scale is None else complex(rhs_scale)
         b64 = split_from_numpy(sources * scale)
         if not hasattr(self, "_solve_fn_batched"):
-            self._solve_fn_batched = jax.jit(jax.vmap(self._solve_fn))
+            # the stored factors must enter the jitted program as ARGUMENTS:
+            # jit inlines closure-captured device arrays as HLO literals and
+            # complex literals are UNIMPLEMENTED on this TPU backend (the
+            # same rule as ops/cplx.py; jit(vmap(self._solve_fn)) fails at
+            # lowering time with an opaque UNIMPLEMENTED fetch)
+            import functools
+
+            base_fn, base_factors = self._solve_base
+            self._solve_fn_batched = functools.partial(
+                jax.jit(jax.vmap(base_fn, in_axes=(None, 0))), base_factors)
         out = refine_batched(
             self.op64, b64, self._solve_fn_batched, target=refine_target,
             max_rounds=(max_refine_rounds if max_refine_rounds is not None
