@@ -206,6 +206,177 @@ def solve_direct(op: HelmholtzOperator, b) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Stacked variants: all four sublattices as ONE batched scan
+# ---------------------------------------------------------------------------
+#
+# For even Nx/Ny the four sublattices have identical (N/2, N/2) shapes, so
+# their factor/solve scans stack on a leading length-4 axis: jax.vmap turns
+# the four SEQUENTIAL per-sublattice scans into one scan whose body does 4x
+# the (tiny, latency-bound) matmul work per step. The warm solve is dominated
+# by sequential scan-step latency, not FLOPs, so this is a ~4x wall-clock
+# lever on one device — and the same stacked axis is what
+# parallel/direct_sharded.py distributes over a device mesh.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackedFactors:
+    """The four sublattice factor sets stacked on a leading axis (even N).
+    ``stacked`` may hold Sublattice/CkptSublattice/CompressedSublattice
+    factors — :func:`solve_stacked` dispatches on the type."""
+    stacked: object                     # leaves have leading axis 4
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+@jax.jit
+def stack_coefficients(op: HelmholtzOperator):
+    """Five-point coefficients restricted to each sublattice and stacked on
+    a leading length-4 axis, order (d, e, w, n, s) matching the per-
+    sublattice factor signatures."""
+    d, e, w, s, n = five_point_coefficients(op)
+
+    def subs(a):
+        return jnp.stack([a[px::2, py::2] for (px, py) in _PARITIES])
+
+    return subs(d), subs(e), subs(w), subs(n), subs(s)
+
+
+# Split-complex storage for the stacked paths. This TPU backend represents
+# complex64 as f32 (re, im) pairs internally ("X64Split" custom calls): a
+# program consuming a big c64 array as a scan input materializes a FULL f32
+# re+im copy of it as an HLO temp — measured 17.3 GB peak (OOM) for the
+# 9.1 GB compressed store at 2048^2. Storing the factors pre-split (same
+# total bytes) removes those temps entirely, and scanning the FULL row
+# arrays (valid because the edge-zeroed coefficients make nvals[0] == 0 and
+# svals[-1] == 0 on every sublattice) removes the a[1:]/a[:-1] slice copies
+# the old scans paid per solve.
+
+
+def _split(a):
+    return jnp.real(a), jnp.imag(a)
+
+
+def _cmm(Ar, Ai, vr, vi):
+    """Split-complex matmul (Ar + i Ai) @ (vr + i vi) at HIGHEST precision
+    — the same four real matmuls a native complex matmul lowers to."""
+    mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+    return mm(Ar, vr) - mm(Ai, vi), mm(Ar, vi) + mm(Ai, vr)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SplitSublatticeFactors:
+    """Stored block inverses in split-complex form (see note above)."""
+    Wre: jax.Array     # (nr, nc, nc) real part of U_r^{-1}
+    Wim: jax.Array     # (nr, nc, nc) imaginary part
+    nvals: jax.Array   # (nr, nc) complex coupling to row r-1 (row 0 zero)
+    svals: jax.Array   # (nr, nc) complex coupling to row r+1 (last row zero)
+
+
+def _factor_sub_split(d, e, w, nvals, svals) -> SplitSublatticeFactors:
+    """Block-Thomas factorization emitting split-stored inverses via ONE
+    full-row scan: nvals[0] == 0 zeroes the Schur update at row 0, so the
+    first row needs no special case (svals rolls by one to align s_{r-1})."""
+    nc = d.shape[1]
+    W0 = jnp.zeros((nc, nc), d.dtype)
+
+    def body(Wprev, row):
+        d_r, e_r, w_r, n_r, s_rm1 = row
+        U = _tridiag(d_r, e_r, w_r) - n_r[:, None] * Wprev * s_rm1[None, :]
+        W = _cinv(U)
+        return W, _split(W)
+
+    _, (Wre, Wim) = jax.lax.scan(
+        body, W0, (d, e, w, nvals, jnp.roll(svals, 1, axis=0)))
+    return SplitSublatticeFactors(Wre=Wre, Wim=Wim, nvals=nvals, svals=svals)
+
+
+def _solve_sub_split(f: SplitSublatticeFactors, b):
+    """x = A^{-1} b on one split-stored sublattice; b (nr, nc) complex.
+    Both scans run over the full row arrays (no slice copies): the zero
+    first-row nvals / last-row svals make the extra terms vanish."""
+    br, bi = _split(b)
+    nre, nim = _split(f.nvals)
+    sre, sim = _split(f.svals)
+    nc = br.shape[1]
+    z0 = (jnp.zeros(nc, br.dtype), jnp.zeros(nc, br.dtype))
+
+    def fwd(z, xs):
+        zr, zi = z
+        b_r, b_i, n_r, n_i, Wr, Wi = xs
+        yr = b_r - (n_r * zr - n_i * zi)
+        yi = b_i - (n_r * zi + n_i * zr)
+        z = _cmm(Wr, Wi, yr, yi)
+        return z, z
+
+    _, (zr, zi) = jax.lax.scan(fwd, z0, (br, bi, nre, nim, f.Wre, f.Wim))
+
+    def bwd(x, xs):
+        xr, xi = x
+        z_r, z_i, s_r, s_i, Wr, Wi = xs
+        tr = s_r * xr - s_i * xi
+        ti = s_r * xi + s_i * xr
+        cr, ci = _cmm(Wr, Wi, tr, ti)
+        x = (z_r - cr, z_i - ci)
+        return x, x
+
+    _, (xr, xi) = jax.lax.scan(bwd, z0, (zr, zi, sre, sim, f.Wre, f.Wim),
+                               reverse=True)
+    return jax.lax.complex(xr, xi)
+
+
+@jax.jit
+def _factor_stacked(d4, e4, w4, n4, s4) -> SplitSublatticeFactors:
+    return jax.vmap(_factor_sub_split)(d4, e4, w4, n4, s4)
+
+
+@functools.partial(jax.jit, static_argnames=("stride",))
+def _factor_stacked_ckpt(d4, e4, w4, n4, s4, *, stride: int):
+    Wc = jax.vmap(
+        lambda d, e, w, n, s: _factor_sub_ckpt(d, e, w, n, s, stride=stride)
+    )(d4, e4, w4, n4, s4)
+    return CkptSublatticeFactors(Wc=Wc, d=d4, e=e4, w=w4,
+                                 nvals=n4, svals=s4, stride=stride)
+
+
+def factor_stacked(op: HelmholtzOperator, *, checkpointed: bool = False,
+                   stride: int = 32) -> StackedFactors:
+    """Stacked-sublattice factorization (even Nx/Ny only)."""
+    Nx, Ny = op.shape
+    assert Nx % 2 == 0 and Ny % 2 == 0, "stacked factors need even N"
+    coeffs = stack_coefficients(op)
+    if checkpointed:
+        stacked = _factor_stacked_ckpt(*coeffs, stride=stride)
+    else:
+        stacked = _factor_stacked(*coeffs)
+    return StackedFactors(stacked=stacked, shape=(Nx, Ny))
+
+
+@jax.jit
+def _solve_stacked(stacked, b) -> jax.Array:
+    from fdtd2d_tpu.fdfd.compressed import (
+        CompressedSublatticeFactors, _solve_sub_compressed)
+
+    if isinstance(stacked, CkptSublatticeFactors):
+        solve_one = _solve_sub_ckpt
+    elif isinstance(stacked, CompressedSublatticeFactors):
+        solve_one = _solve_sub_compressed
+    else:
+        solve_one = _solve_sub
+    b4 = jnp.stack([b[px::2, py::2] for (px, py) in _PARITIES])
+    x4 = jax.vmap(solve_one)(stacked, b4)
+    x = jnp.zeros_like(b)
+    for k, (px, py) in enumerate(_PARITIES):
+        x = x.at[px::2, py::2].set(x4[k])
+    return x
+
+
+def solve_stacked(f: StackedFactors, b) -> jax.Array:
+    """x = A^{-1} b from stacked factors; b (Nx, Ny) complex."""
+    return _solve_stacked(f.stacked, b.reshape(f.shape))
+
+
+# ---------------------------------------------------------------------------
 # Segment-checkpointed variant: exact solves past the store-all-W memory wall
 # ---------------------------------------------------------------------------
 
@@ -370,7 +541,7 @@ class DirectSolver:
                  sigma_max: float = 2.0, m: int = 3, dtype=jnp.complex64,
                  checkpointed: bool = False, stride: int = 32,
                  compressed: bool = False, rank: int = 20, leaf: int = 128,
-                 hps: bool = False, hps_leaf: int = 8):
+                 power_iters: int = 1, hps: bool = False, hps_leaf: int = 8):
         import numpy as np
 
         from fdtd2d_tpu.ops.helmholtz import make_operator
@@ -382,23 +553,35 @@ class DirectSolver:
         self.dtype = dtype
         self.op = make_operator(eps, mu, dx, dy, self.omega,
                                 pml_thickness, sigma_max, m, dtype)
+        Nx, Ny = self.op.shape
+        # even grids: the four sublattices stack into ONE batched scan
+        # (factor AND solve) — ~4x less sequential scan latency per solve
+        even = (Nx % 2 == 0) and (Ny % 2 == 0)
         if compressed:
             # past-the-memory-wall mode with FAST repeat solves: stores every
             # inverse in fixed-rank HODLR form (fdfd/compressed.py); the
-            # range-finder error (~1e-4) is absorbed by the f64 refinement
+            # range-finder error (sharpened by ``power_iters`` subspace
+            # iterations) is absorbed by the f64 refinement
             from fdtd2d_tpu.fdfd import compressed as _comp
 
             nc = self.op.shape[1] // 2
             L = _comp.hodlr_plan(nc, leaf=leaf, rank=rank)
             omegas = _comp.make_test_matrices(nc, L, rank, dtype=dtype)
-            factors = _comp.factor_compressed(self.op, omegas, L=L)
-            self._solve_fn = lambda r: _comp.solve_compressed(factors, r)
-            self._solve_base = (_comp.solve_compressed, factors)
-            self.compressed_bytes = _comp.compressed_bytes(factors)
-            # leaf blocks carry W's dominant entries; good enough for the
-            # element-growth diagnostic
-            wmax = max(float(jnp.max(jnp.abs(s.rows["D"])))
-                       for s in factors.subs)
+            if even:
+                stacked = _comp.factor_compressed_stacked(
+                    stack_coefficients(self.op), omegas, L=L, q=power_iters)
+                self._solve_fn = lambda r: _solve_stacked(stacked, r)
+                self._solve_base = (_solve_stacked, stacked)
+                self.compressed_bytes = _comp.compressed_bytes(stacked)
+                wmax = float(jnp.max(jnp.abs(stacked.rows["D"])))
+            else:
+                factors = _comp.factor_compressed(self.op, omegas, L=L,
+                                                  q=power_iters)
+                self._solve_fn = lambda r: _comp.solve_compressed(factors, r)
+                self._solve_base = (_comp.solve_compressed, factors)
+                self.compressed_bytes = _comp.compressed_bytes(factors)
+                wmax = max(float(jnp.max(jnp.abs(s.rows["D"])))
+                           for s in factors.subs)
         elif hps:
             # O(N^2 log N)-memory nested-dissection mode with log-depth
             # batched solves (fdfd/hps.py); power-of-two grids only.
@@ -431,15 +614,29 @@ class DirectSolver:
         elif checkpointed:
             # past-the-memory-wall mode (2048^2+): stores W every `stride`
             # rows; each solve re-runs the inversion recursion twice
-            subs = factor_checkpointed(self.op, stride=stride)
-            self._solve_fn = lambda r: solve_checkpointed(subs, r)
-            self._solve_base = (solve_checkpointed, subs)
-            wmax = max(float(jnp.max(jnp.abs(s.Wc))) for s in subs)
+            if even:
+                stacked = _factor_stacked_ckpt(*stack_coefficients(self.op),
+                                               stride=stride)
+                self._solve_fn = lambda r: _solve_stacked(stacked, r)
+                self._solve_base = (_solve_stacked, stacked)
+                wmax = float(jnp.max(jnp.abs(stacked.Wc)))
+            else:
+                subs = factor_checkpointed(self.op, stride=stride)
+                self._solve_fn = lambda r: solve_checkpointed(subs, r)
+                self._solve_base = (solve_checkpointed, subs)
+                wmax = max(float(jnp.max(jnp.abs(s.Wc))) for s in subs)
         else:
-            factors = factor(self.op)
-            self._solve_fn = lambda r: solve_factored(factors, r)
-            self._solve_base = (solve_factored, factors)
-            wmax = max(float(jnp.max(jnp.abs(s.Ws))) for s in factors.subs)
+            if even:
+                stacked = _factor_stacked(*stack_coefficients(self.op))
+                self._solve_fn = lambda r: _solve_stacked(stacked, r)
+                self._solve_base = (_solve_stacked, stacked)
+                wmax = float(jnp.max(jnp.abs(stacked.Ws)))
+            else:
+                factors = factor(self.op)
+                self._solve_fn = lambda r: solve_factored(factors, r)
+                self._solve_base = (solve_factored, factors)
+                wmax = max(float(jnp.max(jnp.abs(s.Ws)))
+                           for s in factors.subs)
         # element-growth diagnostic for the pivotless recursion: ||W||_max
         # scaled by the operator's diagonal magnitude. O(1..1e3) is healthy
         # (measured ~40 on the hard 5x-binary 1024^2 scene); >>1e6 flags a

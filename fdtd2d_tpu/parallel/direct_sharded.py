@@ -19,83 +19,27 @@ This is a third distributed leg next to the sharded FDTD kernel
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fdtd2d_tpu.ops.helmholtz import HelmholtzOperator
 from fdtd2d_tpu.fdfd.compressed import (
-    CompressedSublatticeFactors, _factor_sub_compressed,
-    _solve_sub_compressed, hodlr_plan, make_test_matrices,
+    factor_compressed_stacked, hodlr_plan, make_test_matrices,
 )
 from fdtd2d_tpu.fdfd.direct import (
-    CkptSublatticeFactors, SublatticeFactors, _factor_sub, _factor_sub_ckpt,
-    _solve_sub, _solve_sub_ckpt, five_point_coefficients, _PARITIES,
+    StackedFactors, _factor_stacked, _factor_stacked_ckpt, _solve_stacked,
+    stack_coefficients,
 )
 
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass(frozen=True)
-class StackedFactors:
-    """The four sublattice factor sets stacked on a leading axis (even N)."""
-    stacked: SublatticeFactors          # leaves have leading axis 4
-    shape: tuple = dataclasses.field(metadata=dict(static=True))
-
-
-@jax.jit
-def _stack_coefficients(op: HelmholtzOperator):
-    d, e, w, s, n = five_point_coefficients(op)
-
-    def subs(a):
-        return jnp.stack([a[px::2, py::2] for (px, py) in _PARITIES])
-
-    return subs(d), subs(e), subs(w), subs(n), subs(s)
-
-
-@jax.jit
-def _factor_stacked(d4, e4, w4, n4, s4) -> SublatticeFactors:
-    return jax.vmap(_factor_sub)(d4, e4, w4, n4, s4)
-
-
-@partial(jax.jit, static_argnames=("stride",))
-def _factor_stacked_ckpt(d4, e4, w4, n4, s4, *, stride: int):
-    Wc = jax.vmap(
-        lambda d, e, w, n, s: _factor_sub_ckpt(d, e, w, n, s, stride=stride)
-    )(d4, e4, w4, n4, s4)
-    return CkptSublatticeFactors(Wc=Wc, d=d4, e=e4, w=w4,
-                                 nvals=n4, svals=s4, stride=stride)
-
-
-@partial(jax.jit, static_argnames=("L",))
-def _factor_stacked_compressed(d4, e4, w4, n4, s4, omegas, *, L: int):
-    return jax.vmap(
-        lambda d, e, w, n, s: _factor_sub_compressed(d, e, w, n, s, omegas, L)
-    )(d4, e4, w4, n4, s4)
-
-
-@jax.jit
-def _solve_stacked(stacked, b) -> jax.Array:
-    if isinstance(stacked, CkptSublatticeFactors):
-        solve_one = _solve_sub_ckpt
-    elif isinstance(stacked, CompressedSublatticeFactors):
-        solve_one = _solve_sub_compressed
-    else:
-        solve_one = _solve_sub
-    b4 = jnp.stack([b[px::2, py::2] for (px, py) in _PARITIES])
-    x4 = jax.vmap(solve_one)(stacked, b4)
-    x = jnp.zeros_like(b)
-    for k, (px, py) in enumerate(_PARITIES):
-        x = x.at[px::2, py::2].set(x4[k])
-    return x
+# the stacked factor/solve machinery lives in fdfd/direct.py (it is also the
+# single-device fast path); this module adds the mesh placement
+_stack_coefficients = stack_coefficients
 
 
 def factor_sharded(op: HelmholtzOperator, mesh: Mesh, *,
                    checkpointed: bool = False, stride: int = 32,
                    compressed: bool = False, rank: int = 20,
-                   leaf: int = 128) -> StackedFactors:
+                   leaf: int = 128, power_iters: int = 1) -> StackedFactors:
     """Factor with the sublattice axis sharded over ``mesh`` axis 0 (use 1,
     2, or 4 devices; even Nx/Ny only).
 
@@ -125,7 +69,8 @@ def factor_sharded(op: HelmholtzOperator, mesh: Mesh, *,
         nc = Ny // 2
         L = hodlr_plan(nc, leaf=leaf, rank=rank)
         omegas = make_test_matrices(nc, L, rank, dtype=op.dtype)
-        stacked = _factor_stacked_compressed(*coeffs, omegas, L=L)
+        stacked = factor_compressed_stacked(coeffs, omegas, L=L,
+                                            q=power_iters)
     else:
         stacked = _factor_stacked(*coeffs)
     return StackedFactors(stacked=stacked, shape=(Nx, Ny))

@@ -300,10 +300,12 @@ def test_direct_sharded_compressed_matches_single_device():
     nc = N // 2
     L = comp.hodlr_plan(nc, leaf=16, rank=10)
     omegas = comp.make_test_matrices(nc, L, rank=10, dtype=jnp.complex64)
-    want = comp.solve_compressed(comp.factor_compressed(op, omegas, L=L), b)
+    want = comp.solve_compressed(
+        comp.factor_compressed(op, omegas, L=L, q=1), b)
 
     mesh = make_mesh((4,), axis_names=("s",))
-    f = factor_sharded(op, mesh, compressed=True, rank=10, leaf=16)
+    f = factor_sharded(op, mesh, compressed=True, rank=10, leaf=16,
+                       power_iters=1)
     got = solve_factored_sharded(f, b)
     rel = float(jnp.linalg.norm(got - want) / jnp.linalg.norm(want))
     assert rel < 1e-6, f"sharded compressed vs single-device: {rel:.2e}"
@@ -312,6 +314,53 @@ def test_direct_sharded_compressed_matches_single_device():
     rel2 = float(jnp.linalg.norm(got.astype(jnp.complex128) - exact)
                  / jnp.linalg.norm(exact))
     assert rel2 < 1e-2, f"sharded compressed vs exact: {rel2:.2e}"
+
+
+def test_compressed_power_iteration_and_stacked_path():
+    """q>0 subspace iterations sharpen the raw compressed backsolve (lower
+    error vs the dense store at the same rank/storage), and the stacked
+    single-device path (what DirectSolver uses on even grids — one batched
+    scan over the 4 sublattices) matches the per-sublattice loop exactly."""
+    from fdtd2d_tpu.fdfd import compressed as comp
+    from fdtd2d_tpu.fdfd.direct import _solve_stacked, stack_coefficients
+
+    N, dx, omega = 160, 1e-3, 24e9
+    eps, mu, src = _hard_scene(N)
+    op = make_operator(eps, mu, dx, dx, omega, pml_thickness=20,
+                       dtype=jnp.complex64)
+    b = jnp.asarray(-1j * omega * src, jnp.complex64)
+    x_dense = solve_factored(factor(op), b)
+
+    nc = N // 2
+    L = comp.hodlr_plan(nc, leaf=16, rank=10)
+    omegas = comp.make_test_matrices(nc, L, rank=10, dtype=jnp.complex64)
+
+    def err(q):
+        x = comp.solve_compressed(
+            comp.factor_compressed(op, omegas, L=L, q=q), b)
+        return float(jnp.linalg.norm(x - x_dense) / jnp.linalg.norm(x_dense))
+
+    e0, e1 = err(0), err(1)
+    assert e1 < e0, f"power iteration did not sharpen: q=0 {e0:.2e} vs q=1 {e1:.2e}"
+    assert e1 < 3e-3, f"q=1 compressed backsolve too loose: {e1:.2e}"
+
+    # stacked path == loop path at the same q (bit-identical scans modulo
+    # batched-vs-loop QR, which share the algorithm)
+    f_loop = comp.factor_compressed(op, omegas, L=L, q=1)
+    x_loop = comp.solve_compressed(f_loop, b)
+    f_st = comp.factor_compressed_stacked(stack_coefficients(op), omegas,
+                                          L=L, q=1)
+    x_st = _solve_stacked(f_st, b)
+    rel = float(jnp.linalg.norm(x_st - x_loop) / jnp.linalg.norm(x_loop))
+    assert rel < 1e-6, f"stacked vs loop compressed solve: {rel:.2e}"
+
+    # stacked dense path (the DirectSolver default on even grids)
+    from fdtd2d_tpu.fdfd.direct import factor_stacked, solve_stacked
+
+    x_stacked_dense = solve_stacked(factor_stacked(op), b)
+    rel2 = float(jnp.linalg.norm(x_stacked_dense - x_dense)
+                 / jnp.linalg.norm(x_dense))
+    assert rel2 < 1e-6, f"stacked vs loop dense solve: {rel2:.2e}"
 
 
 def test_solve_batched_matches_single_rhs():
