@@ -143,12 +143,17 @@ def bench_fdfd512(on_tpu):
 
     N, dx, omega = (512, 1e-3, 17e9) if on_tpu else (128, 1e-3, 17e9)
     eps, mu, src = _fdfd512_scene(N, omega)
+    # rhs_scale=1.0: the scene's src already carries the -1j*omega factor
+    # (the iterative bench consumes it as the raw RHS); the default scale
+    # would apply -1j*omega AGAIN — b ~ 3e20, whose squared norms overflow
+    # even the f64 range of this TPU's f32-pair emulation (ops/splitc.snorm)
+    kw = dict(rhs_scale=1.0, refine_target=1e-6)
     t_f = time.perf_counter()
     solver = DirectSolver(eps, mu, dx, dx, omega)
-    _, trace = solver.solve(src, refine_target=1e-6)   # compile + warm
+    _, trace = solver.solve(src, **kw)   # compile + warm
     factor_s = time.perf_counter() - t_f
     t0 = time.perf_counter()
-    _, trace = solver.solve(src, refine_target=1e-6)
+    _, trace = solver.solve(src, **kw)
     dt = time.perf_counter() - t0
     assert trace[-2] < 1e-5, f"direct 512^2 solve did not converge: {trace}"
     return {"metric": f"fdfd_{N}sq_solve", "value": round(dt, 3),

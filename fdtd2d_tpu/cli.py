@@ -201,10 +201,12 @@ def cmd_train(args):
                       loss_weighting=args.weighting,
                       ema_decay=args.ema_decay, augment=args.augment,
                       ckpt_every=args.ckpt_every,
-                      max_dispatch_steps=args.max_dispatch_steps)
+                      max_dispatch_steps=args.max_dispatch_steps,
+                      compute_dtype=args.compute_dtype)
     print(f"recipe: prediction_type={cfg.prediction_type} "
           f"t_sampling={cfg.t_sampling} weighting={cfg.loss_weighting} "
-          f"ema_decay={cfg.ema_decay} augment={cfg.augment}")
+          f"ema_decay={cfg.ema_decay} augment={cfg.augment} "
+          f"compute_dtype={cfg.compute_dtype}")
 
     eval_callback = holdout_callback = None
     if args.eval_every:
@@ -435,6 +437,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cap on train steps per device dispatch; whole-"
                         "epoch dispatches past ~4 device-minutes crash the "
                         "tunneled TPU worker (TrainConfig.max_dispatch_steps)")
+    f.add_argument("--compute-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="UNet conv/dense math dtype; bfloat16 is standard "
+                        "mixed precision (f32 master params, BatchNorm "
+                        "stats, 1x1 head, loss) — one MXU pass per matmul")
     f.set_defaults(fn=cmd_train)
 
     f = sub.add_parser("infer", help="restore a checkpoint and predict a field")

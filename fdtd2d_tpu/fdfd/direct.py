@@ -361,8 +361,12 @@ def _solve_stacked(stacked, b) -> jax.Array:
         solve_one = _solve_sub_ckpt
     elif isinstance(stacked, CompressedSublatticeFactors):
         solve_one = _solve_sub_compressed
-    else:
+    elif isinstance(stacked, SplitSublatticeFactors):
+        solve_one = _solve_sub_split
+    elif isinstance(stacked, SublatticeFactors):
         solve_one = _solve_sub
+    else:
+        raise TypeError(f"unknown stacked factor type {type(stacked)!r}")
     b4 = jnp.stack([b[px::2, py::2] for (px, py) in _PARITIES])
     x4 = jax.vmap(solve_one)(stacked, b4)
     x = jnp.zeros_like(b)
@@ -630,7 +634,8 @@ class DirectSolver:
                 stacked = _factor_stacked(*stack_coefficients(self.op))
                 self._solve_fn = lambda r: _solve_stacked(stacked, r)
                 self._solve_base = (_solve_stacked, stacked)
-                wmax = float(jnp.max(jnp.abs(stacked.Ws)))
+                wmax = float(jnp.sqrt(jnp.max(stacked.Wre**2
+                                              + stacked.Wim**2)))
             else:
                 factors = factor(self.op)
                 self._solve_fn = lambda r: solve_factored(factors, r)

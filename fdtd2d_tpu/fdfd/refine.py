@@ -30,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fdtd2d_tpu.ops.splitc import (
-    HelmholtzF64, Split, require_x64, saxpy, snorm, split_from_complex,
-    split_to_complex,
+    HelmholtzF64, Split, require_x64, saxpy, snorm, snorm_batched,
+    split_from_complex, split_to_complex,
 )
 
 
@@ -141,7 +141,7 @@ def _residual_step_batched(op64: HelmholtzF64, b: Split, x: Split,
     """Batched twin of :func:`_residual_step`: fields are (B, Nx, Ny),
     norms are per-sample. One fused f64 pass for the whole batch."""
     r = jax.vmap(op64.residual)(b, x)
-    rn = jnp.sqrt(jnp.sum(r.re * r.re + r.im * r.im, axis=(1, 2)))
+    rn = snorm_batched(r)
     safe = jnp.where(rn == 0, 1.0, rn)[:, None, None]
     rc = split_to_complex(Split(r.re / safe, r.im / safe), inner_dtype)
     return rc, rn
@@ -179,7 +179,7 @@ def refine_batched(
     B = b.re.shape[0]
     z = jnp.zeros(b.re.shape, jnp.float64)
     x = Split(z, z)
-    bn = jnp.sqrt(jnp.sum(b.re * b.re + b.im * b.im, axis=(1, 2)))
+    bn = snorm_batched(b)
     bn_safe = np.where(np.asarray(bn) == 0.0, 1.0, np.asarray(bn))
 
     trace: List[float] = []

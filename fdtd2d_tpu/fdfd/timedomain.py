@@ -230,52 +230,116 @@ def _apply_S(b: WaveBundle, u, uprev, psi):
     return su, (p_uc, p_ur, p_qc, p_qr, qcs, qrs)
 
 
-@jax.jit
-def wave_run(bundle: WaveBundle, b_sub: jax.Array) -> jax.Array:
-    """~A_sub^{-1} b_sub for all four sublattices at once.
-
-    ``b_sub``: (4, nr, nc) complex64. Runs ``n_main`` settling steps from
-    zero, then averages the phasor u[k] e^{+i theta k} over the final
-    ``n_avg`` steps (one drive period) — the period average cancels
-    residual transients at frequencies != the drive to first order."""
+def _step(bundle: WaveBundle, b_sub, u, uprev, psi, k):
+    """One driven leapfrog step at absolute step index ``k``."""
     theta = bundle.theta
     n_ramp = jnp.float32(bundle.n_ramp)
+    kf = k.astype(jnp.float32)
+    ramp = jnp.sin(0.5 * jnp.pi * jnp.minimum(kf, n_ramp) / n_ramp) ** 2
+    ph = (jnp.cos(theta * kf) - 1j * jnp.sin(theta * kf)).astype(
+        jnp.complex64) * ramp
+    su, psi = _apply_S(bundle, u, uprev, psi)
+    # rank-1 band sponge, broadcast in-register (never materialized)
+    hd = bundle.hd_r[:, :, None] + bundle.hd_c[:, None, :]
+    unew = (2.0 * u - (1.0 - hd) * uprev
+            + bundle.inv_eps_dt2 * (b_sub * ph - su)) / (1.0 + hd)
+    return unew, u, psi
 
-    def step(u, uprev, psi, k):
-        kf = k.astype(jnp.float32)
-        ramp = jnp.sin(0.5 * jnp.pi * jnp.minimum(kf, n_ramp) / n_ramp) ** 2
-        ph = (jnp.cos(theta * kf) - 1j * jnp.sin(theta * kf)).astype(
-            jnp.complex64) * ramp
-        su, psi = _apply_S(bundle, u, uprev, psi)
-        # rank-1 band sponge, broadcast in-register (never materialized)
-        hd = bundle.hd_r[:, :, None] + bundle.hd_c[:, None, :]
-        unew = (2.0 * u - (1.0 - hd) * uprev
-                + bundle.inv_eps_dt2 * (b_sub * ph - su)) / (1.0 + hd)
-        return unew, u, psi
 
-    u0 = jnp.zeros_like(b_sub)
-    psi0 = _psi0(b_sub, bundle.t)
-
-    def body_main(carry, k):
+@partial(jax.jit, static_argnames=("nsteps",))
+def _settle_segment(bundle: WaveBundle, b_sub, u, uprev, psi, k0, *,
+                    nsteps: int):
+    """``nsteps`` settling steps from absolute index ``k0`` — one bounded
+    device dispatch (the tunneled TPU worker dies on single dispatches
+    past ~4 minutes; see CLAUDE.md and TrainConfig.max_dispatch_steps,
+    the same fix for training scans)."""
+    def body(carry, k):
         u, uprev, psi = carry
-        unew, u, psi = step(u, uprev, psi, k)
+        unew, u, psi = _step(bundle, b_sub, u, uprev, psi, k)
         return (unew, u, psi), None
 
-    (u, uprev, psi), _ = jax.lax.scan(body_main, (u0, u0, psi0),
-                                      jnp.arange(bundle.n_main))
+    (u, uprev, psi), _ = jax.lax.scan(body, (u, uprev, psi),
+                                      k0 + jnp.arange(nsteps))
+    return u, uprev, psi
+
+
+# dispatch-ending sync: real f32 scalar of a complex array, computed under
+# jit (eager complex scalar ops are UNIMPLEMENTED on this backend)
+_fetch_real = jax.jit(lambda u: jnp.sum(jnp.real(u[0])))
+
+
+@jax.jit
+def _avg_run(bundle: WaveBundle, b_sub, u, uprev, psi):
+    """Final one-period phasor average (n_avg steps, one dispatch)."""
+    theta = bundle.theta
 
     def body_avg(carry, k):
         (u, uprev, psi), acc = carry
-        unew, u, psi = step(u, uprev, psi, k)
+        unew, u, psi = _step(bundle, b_sub, u, uprev, psi, k)
         kf = (k + 1).astype(jnp.float32)
         ph = (jnp.cos(theta * kf) + 1j * jnp.sin(theta * kf)).astype(
             jnp.complex64)
         return ((unew, u, psi), acc + unew * ph), None
 
     ks = jnp.arange(bundle.n_main, bundle.n_main + bundle.n_avg)
-    ((u, uprev, psi), acc), _ = jax.lax.scan(body_avg, ((u, uprev, psi), u0),
-                                             ks)
+    (_, acc), _ = jax.lax.scan(body_avg, ((u, uprev, psi),
+                                          jnp.zeros_like(u)), ks)
     return acc / jnp.float32(bundle.n_avg)
+
+
+@jax.jit
+def wave_run(bundle: WaveBundle, b_sub: jax.Array) -> jax.Array:
+    """~A_sub^{-1} b_sub for all four sublattices at once, ONE dispatch.
+
+    ``b_sub``: (4, nr, nc) complex64. Runs ``n_main`` settling steps from
+    zero, then averages the phasor u[k] e^{+i theta k} over the final
+    ``n_avg`` steps (one drive period) — the period average cancels
+    residual transients at frequencies != the drive to first order.
+
+    For large grids use :func:`wave_run_chunked` — at 4096^2 the full
+    settle is a multi-minute dispatch, past the tunneled-TPU kill wall."""
+    def body_main(carry, k):
+        u, uprev, psi = carry
+        unew, u, psi = _step(bundle, b_sub, u, uprev, psi, k)
+        return (unew, u, psi), None
+
+    u0 = jnp.zeros_like(b_sub)
+    (u, uprev, psi), _ = jax.lax.scan(body_main, (u0, u0, _psi0(b_sub, bundle.t)),
+                                      jnp.arange(bundle.n_main))
+    return _avg_run(bundle, b_sub, u, uprev, psi)
+
+
+def wave_run_chunked(bundle: WaveBundle, b_sub: jax.Array,
+                     seg_steps: int) -> jax.Array:
+    """Bit-identical to :func:`wave_run` but the settle scan is split into
+    dispatches of at most ``seg_steps`` steps, each ended by a tiny scalar
+    fetch, so no single device dispatch outlives the ~4-minute tunneled-TPU
+    worker wall. Two compiled programs total (full segment + remainder)."""
+    from fdtd2d_tpu.ops.cplx import czeros
+
+    n_main = bundle.n_main
+    if seg_steps >= n_main:
+        return wave_run(bundle, b_sub)
+    # eager complex zeros_like is UNIMPLEMENTED on this backend (it
+    # broadcasts a 0-d complex fill value) — build via lax.complex instead
+    u = czeros(b_sub.shape, b_sub.dtype)
+    uprev = u
+    B, nr, nc = b_sub.shape
+    zc = czeros((B, nr, 2 * bundle.t), b_sub.dtype)
+    zr = czeros((B, 2 * bundle.t, nc), b_sub.dtype)
+    psi = (zc, zr, zc, zr, zc, zr)
+    k0 = 0
+    while k0 < n_main:
+        n = min(seg_steps, n_main - k0)
+        # remainder segments reuse the seg_steps program when possible
+        u, uprev, psi = _settle_segment(bundle, b_sub, u, uprev, psi,
+                                        jnp.int32(k0), nsteps=n)
+        # end the dispatch with a REAL scalar fetch: an eager complex
+        # element read (u[0,0,0]) materializes a 0-d complex array, which
+        # is UNIMPLEMENTED on this backend and poisons the process
+        float(_fetch_real(u))
+        k0 += n
+    return _avg_run(bundle, b_sub, u, uprev, psi)
 
 
 def build_wave_bundle(eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
@@ -446,9 +510,16 @@ class TimeDomainSolver:
     round.
     """
 
+    # per-dispatch budget in CELL-steps. Calibration: the r4 bench's single
+    # 15k-step dispatch over 4x2048^2 cells (2.5e11 cell-steps) outlived the
+    # ~4-minute tunneled-worker wall and was killed => sustained rate is
+    # ~1e9 cell-steps/s on this chip; 6e10 keeps each dispatch near ~60 s.
+    DISPATCH_CELL_STEPS = 6e10
+
     def __init__(self, eps, mu, dx, dy, omega, *, pml_thickness: int = 40,
                  sigma_max: float = 2.0, m: int = 3, transits: float = 2.5,
-                 dtype=jnp.complex64, steps_override: Optional[int] = None):
+                 dtype=jnp.complex64, steps_override: Optional[int] = None,
+                 max_dispatch_steps: Optional[int] = None):
         from fdtd2d_tpu.ops.helmholtz import make_operator
         from fdtd2d_tpu.ops.splitc import make_operator_f64
 
@@ -463,10 +534,23 @@ class TimeDomainSolver:
         self.op64 = make_operator_f64(np.asarray(eps), np.asarray(mu), dx, dy,
                                       self.omega, pml_thickness, sigma_max, m)
         self.steps_per_apply = self.bundle.n_main + self.bundle.n_avg
+        if max_dispatch_steps is None:
+            cells = int(np.asarray(eps).size)
+            max_dispatch_steps = max(int(self.DISPATCH_CELL_STEPS // cells),
+                                     256)
+        self.max_dispatch_steps = int(max_dispatch_steps)
 
     def precondition(self, b: jax.Array) -> jax.Array:
-        """~A^{-1} b on the full grid (complex64 in, complex64 out)."""
-        return _precondition_full(self.bundle, b)
+        """~A^{-1} b on the full grid (complex64 in, complex64 out).
+
+        Splits the settle scan into <=``max_dispatch_steps``-step
+        dispatches (single-dispatch when it fits) — see
+        :func:`wave_run_chunked`."""
+        if self.bundle.n_main <= self.max_dispatch_steps:
+            return _precondition_full(self.bundle, b)
+        x_sub = wave_run_chunked(self.bundle, _split_sub(b),
+                                 self.max_dispatch_steps)
+        return _merge_sub(x_sub, b)
 
     def solve(self, source, *, rhs_scale=None, refine_target: float = 1e-6,
               max_refine_rounds: int = 30, return_split: bool = False,

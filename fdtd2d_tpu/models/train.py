@@ -99,11 +99,16 @@ class TrainConfig:
     # Epochs split into equal chunks (identical shapes -> one compile);
     # datasets small enough for one chunk keep the exact legacy key path.
     max_dispatch_steps: int = 1024
+    # "bfloat16" runs the UNet's conv/dense math in bf16 (ONE MXU pass per
+    # matmul instead of the multi-pass bf16 decomposition f32 inputs get on
+    # a v5e) while master params, BatchNorm statistics, the 1x1 head, the
+    # loss, and the Adam state all stay float32 — standard mixed precision.
+    compute_dtype: str = "float32"      # "float32" | "bfloat16"
 
 
 def create_state(key, shape: Tuple[int, int], config: TrainConfig,
                  model: Optional[UNet2D] = None) -> TrainState:
-    model = model or UNet2D()
+    model = model or UNet2D(dtype=jnp.dtype(config.compute_dtype))
     H, W = shape
     dummy = jnp.zeros((1, H, W))
     variables = model.init(key, dummy, dummy, dummy, dummy,

@@ -69,8 +69,30 @@ def split_from_numpy(z, dtype=jnp.float64) -> Split:
                  jnp.asarray(np.ascontiguousarray(z.imag), dtype))
 
 
+@jax.jit
 def snorm(s: Split) -> jax.Array:
-    return jnp.sqrt(jnp.sum(s.re**2 + s.im**2))
+    """Overflow-safe 2-norm. TPU float64 is software-emulated as float32
+    PAIRS (extended mantissa, f32 EXPONENT range ~1e38), so the naive
+    sum-of-squares overflows to inf for entries past ~1e19 — e.g. an FDFD
+    right-hand side b = -1j*omega*src at omega ~ 1e10 applied twice.
+    Factoring out max|.| keeps every square O(1). Jitted: several of the
+    eager f64 scalar ops involved are UNIMPLEMENTED on this backend, while
+    the compiled program runs fine (the usual rule here — see ops/cplx.py)."""
+    m = jnp.maximum(jnp.max(jnp.abs(s.re)), jnp.max(jnp.abs(s.im)))
+    safe = jnp.where(m == 0, 1.0, m)
+    return m * jnp.sqrt(jnp.sum((s.re / safe) ** 2 + (s.im / safe) ** 2))
+
+
+@jax.jit
+def snorm_batched(s: Split) -> jax.Array:
+    """Per-sample overflow-safe 2-norms of a (B, Nx, Ny) Split (see
+    :func:`snorm` for why naive sums of squares overflow the f32-pair
+    emulated f64 range on TPU, and why it is jitted)."""
+    m = jnp.maximum(jnp.max(jnp.abs(s.re), axis=(1, 2)),
+                    jnp.max(jnp.abs(s.im), axis=(1, 2)))
+    safe = jnp.where(m == 0, 1.0, m)[:, None, None]
+    return m * jnp.sqrt(jnp.sum((s.re / safe) ** 2 + (s.im / safe) ** 2,
+                                axis=(1, 2)))
 
 
 def saxpy(alpha: jax.Array, x: Split, y: Split) -> Split:

@@ -208,6 +208,41 @@ def test_train_step_and_inference():
 
 
 @pytest.mark.slow
+def test_train_step_bfloat16_mixed_precision():
+    """compute_dtype='bfloat16' runs the conv/dense math in bf16 while
+    master params, the optimizer state, and the loss stay float32, and the
+    output is close to the float32 model with identical params (standard
+    mixed precision — the v5e MXU does one bf16 pass per matmul instead of
+    the multi-pass decomposition f32 inputs get)."""
+    data = _tiny_data()
+    cfg = TrainConfig(batch_size=4, compute_dtype="bfloat16")
+    model = UNet2D(channels=(4, 8, 16), bottleneck=32, time_embed_dim=32,
+                   dtype=jnp.bfloat16)
+    state = create_state(KEY, (32, 32), cfg, model=model)
+    # master params and opt state are float32 regardless of compute dtype
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    assert all(x.dtype != jnp.bfloat16 for x in jax.tree.leaves(state.opt_state)
+               if hasattr(x, "dtype"))
+
+    batch = {k: v[:4] for k, v in data.items()}
+    schedule = DDPMSchedule.create(1000)
+    for i in range(2):
+        state, loss = train_step(state, schedule, jax.random.PRNGKey(i), batch)
+        assert loss.dtype == jnp.float32 and np.isfinite(float(loss))
+
+    # bf16 forward tracks the f32 forward with the SAME params to bf16
+    # roundoff (~1e-2 relative on O(1) activations)
+    f32 = UNet2D(channels=(4, 8, 16), bottleneck=32, time_embed_dim=32)
+    args = (batch["eps"], batch["mu"], batch["src"], batch["Ez"],
+            jnp.zeros((4,)), batch["omega"])
+    vars_ = {"params": state.params, "batch_stats": state.batch_stats}
+    y_bf = model.apply(vars_, *args, train=False)
+    y_f32 = f32.apply(vars_, *args, train=False)
+    assert y_bf.dtype == jnp.float32         # head + output stay f32
+    denom = float(jnp.max(jnp.abs(y_f32))) + 1e-30
+    assert float(jnp.max(jnp.abs(y_bf - y_f32))) / denom < 5e-2
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = TrainConfig(batch_size=4, ckpt_dir=str(tmp_path))
     state = create_state(KEY, (32, 32), cfg, model=_tiny_model())

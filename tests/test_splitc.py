@@ -84,6 +84,33 @@ def test_run_fdfd_refined_beats_c64_floor():
 def test_split_helpers():
     z = np.array([[1.0 + 2.0j, -3.0j]])
     s = split_from_numpy(z)
-    assert float(snorm(s)) == np.linalg.norm(z)
+    # snorm factors out max|.| for overflow safety (see
+    # test_snorm_overflow_safe), so equality holds to rounding, not bitwise
+    assert np.isclose(float(snorm(s)), np.linalg.norm(z), rtol=1e-14)
     back = split_to_complex(s, jnp.complex64)
     assert np.allclose(np.asarray(jnp.real(back)) + 1j * np.asarray(jnp.imag(back)), z)
+
+def test_snorm_overflow_safe():
+    """snorm must not overflow for entries whose SQUARES exceed the dtype
+    range. On the real TPU, f64 is emulated as f32 pairs (f32 exponent
+    range ~1e38), so an FDFD right-hand side with -1j*omega applied twice
+    (~3e20; squares ~8e40) turned every refinement trace to NaN — found
+    round 5 driving DirectSolver.solve on chip. On CPU the same bug
+    reproduces at ~1e200 (squares past the true f64 range)."""
+    from fdtd2d_tpu.ops.splitc import Split, snorm, snorm_batched
+
+    big = np.full((4, 4), 3.0e200)
+    s = Split(jnp.asarray(big), jnp.asarray(big))
+    expected = 3.0e200 * np.sqrt(2.0 * 16)
+    assert np.isfinite(float(snorm(s)))
+    assert abs(float(snorm(s)) / expected - 1.0) < 1e-12
+
+    sb = Split(jnp.asarray(big[None]), jnp.asarray(big[None]))
+    nb = np.asarray(snorm_batched(sb))
+    assert np.isfinite(nb).all() and abs(nb[0] / expected - 1.0) < 1e-12
+
+    # zero norm stays zero (no 0/0)
+    z = Split(jnp.zeros((2, 2)), jnp.zeros((2, 2)))
+    assert float(snorm(z)) == 0.0
+    zb = Split(jnp.zeros((1, 2, 2)), jnp.zeros((1, 2, 2)))
+    assert float(np.asarray(snorm_batched(zb))[0]) == 0.0

@@ -150,3 +150,37 @@ def test_solver_reports_honest_trace_and_warns_on_stall():
     with pytest.warns(RuntimeWarning, match="time-domain solve stalled"):
         x, trace = s.solve(src, refine_target=1e-10, max_refine_rounds=3)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_chunked_wave_run_matches_single_dispatch():
+    """wave_run_chunked splits the settle scan into bounded dispatches
+    (the ~4-min tunneled-TPU worker wall, CLAUDE.md) — it must be
+    BIT-identical to the one-dispatch wave_run: same steps, same k
+    indices, same filter-state threading."""
+    from fdtd2d_tpu.fdfd.timedomain import wave_run_chunked
+
+    N, dx, omega, pml = 64, 1e-3, 30e9, 12
+    eps, mu, src = _scene(N, pml=pml)
+    bnd = build_wave_bundle(eps, mu, dx, dx, omega, pml_thickness=pml,
+                            transits=2.0)
+    b_sub = _split_sub(jnp.asarray(-1j * omega * src, jnp.complex64))
+    x_one = np.asarray(wave_run(bnd, b_sub))
+    for seg in (17, 64, 10 ** 9):   # ragged remainder, even split, no-op
+        x_chunk = np.asarray(wave_run_chunked(bnd, b_sub, seg))
+        assert np.array_equal(x_one, x_chunk), seg
+
+
+def test_solver_chunked_dispatch_path():
+    """TimeDomainSolver with a small max_dispatch_steps must route through
+    the chunked path and agree with the single-dispatch solver."""
+    N, dx, omega, pml = 64, 1e-3, 30e9, 12
+    eps, mu, src = _scene(N, pml=pml)
+    kw = dict(pml_thickness=pml, transits=6.0)
+    s1 = TimeDomainSolver(eps, mu, dx, dx, omega, **kw)
+    s2 = TimeDomainSolver(eps, mu, dx, dx, omega, max_dispatch_steps=100,
+                          **kw)
+    assert s2.bundle.n_main > 100   # the chunked path is actually exercised
+    x1, _ = s1.solve(src, refine_target=1e-5)
+    x2, _ = s2.solve(src, refine_target=1e-5)
+    err = np.max(np.abs(np.asarray(x1) - np.asarray(x2)))
+    assert err / np.max(np.abs(np.asarray(x1))) < 1e-5, err
