@@ -27,6 +27,7 @@ invisible to the driver. This suite covers the solver stack:
     trainstep    diffusion-surrogate train step, ms (batch 8 @ 256^2):
                  a 32-step lax.scan epoch in ONE dispatch ended by a
                  reduction fetch, + XLA-cost-model MFU sanity figure
+    trainstepbf16  same step in the bf16 mixed-precision production config
     fdtd2048     VMEM-resident FDTD kernel, GCells/s  <- headline, LAST
 
 Each bench runs in its own child process (the TPU tunnel fails transiently
@@ -363,7 +364,7 @@ def bench_datagen(on_tpu):
             "vs_baseline": round(sps / DATAGEN_BASELINE_SPS, 1)}
 
 
-def bench_trainstep(on_tpu):
+def bench_trainstep(on_tpu, compute_dtype="float32"):
     # the repo's own timing rule (CLAUDE.md): ONE big dispatched batch — a
     # lax.scan of nb train steps (train_epoch) — ended by a reduction fetch.
     # The round-3 version timed a Python loop of 20 dispatches ended by
@@ -380,7 +381,7 @@ def bench_trainstep(on_tpu):
     B = 8
     nb = 32                      # steps per timed dispatch
     n = nb * B
-    cfg = TrainConfig(batch_size=B)
+    cfg = TrainConfig(batch_size=B, compute_dtype=compute_dtype)
     state = create_state(jax.random.PRNGKey(0), (H, H), cfg)
     schedule = DDPMSchedule.create(cfg.num_train_timesteps)
     k = jax.random.PRNGKey(1)
@@ -413,7 +414,8 @@ def bench_trainstep(on_tpu):
             mfu = flops / ((ms / 1e3) * nb) / 197e12
     except Exception:
         pass
-    out = {"metric": f"train_step_b{B}_{H}sq", "value": round(ms, 2),
+    tag = "" if compute_dtype == "float32" else "_bf16"
+    out = {"metric": f"train_step_b{B}_{H}sq{tag}", "value": round(ms, 2),
            "unit": "ms",
            # reference's own torch train step (same batch/shape) measured in
            # this container on CPU (BASELINE.md, 2026-08-19)
@@ -437,6 +439,11 @@ BENCHES = [
     ("timedomain4096", bench_timedomain4096),
     ("datagen", bench_datagen),
     ("trainstep", bench_trainstep),
+    # mixed-precision production config for the surrogate runs (bf16
+    # conv/dense math, f32 master params/BatchNorm/head/loss): measured
+    # 28.4 vs 39.3 ms/step on this chip, loss identical to 3 decimals
+    ("trainstepbf16",
+     lambda on_tpu: bench_trainstep(on_tpu, compute_dtype="bfloat16")),
     ("fdtd2048", bench_fdtd2048),
 ]
 

@@ -200,9 +200,46 @@ def _generate_batch_direct_device(key, *, batch: int, shape: Tuple[int, int],
     return eps, mu, src, omega, x
 
 
+@partial(jax.jit, static_argnames=("shape", "batch", "pml_thickness", "dx"))
+def _generate_batch_compact_device(key, *, batch: int, shape: Tuple[int, int],
+                                   dx: float, pml_thickness: int):
+    """Device half of the fast datagen path: solve + compact encodings.
+
+    Returns (eps_mask u8, src_mask u8, omega f32, re f32, im f32). The scene
+    channels are structurally redundant (binary eps, 0/1 src, constant mu —
+    reference diffusion_training.py:54-146), and complex64 IS a pair of
+    float32s, so this is the minimal-byte exact fetch: ~0.65 MB/sample at
+    256^2 vs ~2.3 MB for the old full-float path — the r4 datagen rate
+    regression (10 -> 4.7 samples/s) was the tunnel fetch, not the solve."""
+    eps, mu, src, omega, x = _generate_batch_direct_device(
+        key, batch=batch, shape=shape, dx=dx, pml_thickness=pml_thickness)
+    mid = jnp.float32(0.5 * (EPS_LO + EPS_HI))
+    return ((eps > mid).astype(jnp.uint8), (src != 0).astype(jnp.uint8),
+            omega, jnp.real(x), jnp.imag(x))
+
+
+def _finish_batch_host(dev, dx: float, pml_thickness: int) -> dict:
+    """Host half: fetch the compact encodings, rebuild the float channels,
+    and run the TRUE-f64 residual check. complex64 fetched as f32 parts is
+    bit-identical to the old f64-part fetch at half the tunnel bytes."""
+    eps_mask, src_mask, omega, re, im = dev
+    re = np.asarray(re, np.float32)
+    im = np.asarray(im, np.float32)
+    eps_mask = np.asarray(eps_mask, bool)
+    src = np.asarray(src_mask, np.float32)
+    omega = np.asarray(omega, np.float32)
+    eps = np.where(eps_mask, np.float32(EPS_HI), np.float32(EPS_LO))
+    mu = np.broadcast_to(np.float32(MU_REF), eps.shape)
+    x_host = re.astype(np.float64) + 1j * im.astype(np.float64)
+    res = _five_point_residual_host(eps, mu, src, omega, x_host, dx,
+                                    pml_thickness)
+    return dict(eps=eps, mu=mu, src=src, omega=omega, Ez=re,
+                residuals=res.astype(np.float32))
+
+
 def generate_batch(key, *, batch: int, shape: Tuple[int, int], dx: float = 1e-3,
                    pml_thickness: int = 40, M=None, **_ignored):
-    """One batch of (eps, mu, src, omega, Ez) training samples, all on device.
+    """One batch of (eps, mu, src, omega, Ez) training samples.
 
     Labels are EXACT: each sample is solved with the sublattice block-Thomas
     direct factorization (fdtd2d_tpu/fdfd/direct.py) plus one c64 refinement
@@ -210,20 +247,12 @@ def generate_batch(key, *, batch: int, shape: Tuple[int, int], dx: float = 1e-3,
     (python-src/diffusion_training.py:36-51), on device. ``residuals`` holds
     per-sample TRUE f64 relative residuals evaluated host-side (typically
     ~1e-6; the round-2 Krylov path left ~90% of samples above 1e-4).
-    """
+    Arrays come back as host numpy (the compact fetch path above); for
+    device-resident batches wrap with jnp.asarray."""
     del M
-    eps, mu, src, omega, x = _generate_batch_direct_device(
-        key, batch=batch, shape=shape, dx=dx, pml_thickness=pml_thickness)
-    # fetch complex via real/imag parts (direct complex transfers can hang
-    # through this environment's TPU tunnel)
-    x_host = (np.asarray(jnp.real(x), np.float64)
-              + 1j * np.asarray(jnp.imag(x), np.float64))
-    res = _five_point_residual_host(np.asarray(eps), np.asarray(mu),
-                                    np.asarray(src), np.asarray(omega),
-                                    x_host, dx, pml_thickness)
-    Ez = jnp.real(x).astype(jnp.float32)
-    return dict(eps=eps, mu=mu, src=src, omega=omega, Ez=Ez,
-                residuals=jnp.asarray(res, jnp.float32))
+    dev = _generate_batch_compact_device(key, batch=batch, shape=shape,
+                                         dx=dx, pml_thickness=pml_thickness)
+    return _finish_batch_host(dev, dx, pml_thickness)
 
 
 def default_preconditioner(shape: Tuple[int, int], dx: float = 1e-3,
@@ -234,29 +263,34 @@ def default_preconditioner(shape: Tuple[int, int], dx: float = 1e-3,
 
 
 def generate_dataset(key, num_samples: int, shape: Tuple[int, int],
-                     batch: int = 64, to_host: bool | None = None, **kwargs):
-    """Generate ``num_samples`` in device-sized batches; returns stacked dict.
+                     batch: int = 64, to_host: bool | None = None,
+                     dx: float = 1e-3, pml_thickness: int = 40, **kwargs):
+    """Generate ``num_samples`` in device-sized batches; returns a stacked
+    host-numpy dict.
 
-    ``to_host``: accumulate batches as numpy on the HOST (the path for
-    datasets past HBM — 10k scenes at 250^2 are ~12.5 GB). Defaults to
-    automatic: host accumulation above ~2 GB. The result feeds
-    ``train(..., stream_chunk=...)`` without ever materializing on device.
+    Double-buffered: batch i+1's device solve is dispatched (async) BEFORE
+    batch i's host fetch + f64 residual check, so the tunnel transfer and
+    host work overlap the next solve — on the tunneled TPU the fetch, not
+    the solve, was the datagen bottleneck (r4: 10 -> 4.7 samples/s).
+    ``to_host`` is kept for API compatibility; results are always host-side
+    now (the compact fetch made device-side accumulation pointless).
     """
-    M = kwargs.pop("M", None)  # unused by the direct path; kept for API compat
-    if to_host is None:
-        to_host = num_samples * shape[0] * shape[1] * 5 * 4 > 2 * 1024**3
+    kwargs.pop("M", None)  # unused by the direct path; kept for API compat
+    del to_host
     outs = []
+    pending = None
     n = 0
     while n < num_samples:
         key, k = jax.random.split(key)
         b = min(batch, num_samples - n)
-        out = generate_batch(k, batch=b, shape=shape, M=M, **kwargs)
-        if to_host:
-            out = jax.tree.map(np.asarray, out)
-        outs.append(out)
+        dev = _generate_batch_compact_device(k, batch=b, shape=shape, dx=dx,
+                                             pml_thickness=pml_thickness)
+        if pending is not None:
+            outs.append(_finish_batch_host(pending, dx, pml_thickness))
+        pending = dev
         n += b
-    cat = np.concatenate if to_host else jnp.concatenate
-    return jax.tree.map(lambda *xs: cat(xs), *outs)
+    outs.append(_finish_batch_host(pending, dx, pml_thickness))
+    return jax.tree.map(lambda *xs: np.concatenate(xs), *outs)
 
 
 # ---------------------------------------------------------------------------
