@@ -174,7 +174,10 @@ def train_step(state: TrainState, schedule: DDPMSchedule, key, batch,
             w = loss_weight(schedule, t, weighting, prediction_type,
                             gamma=snr_gamma)
         per_sample = jnp.mean((pred - target) ** 2, axis=(1, 2))
-        return jnp.mean(w * per_sample), updates["batch_stats"]
+        # pin the loss scalar to f32: under the x64-enabled CPU test mesh
+        # f64 targets/schedule weights would upcast it (the mixed-precision
+        # contract keeps master params, stats, and the LOSS in float32)
+        return jnp.mean(w * per_sample).astype(jnp.float32), updates["batch_stats"]
 
     (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
     state = state.apply_gradients(grads=grads)
