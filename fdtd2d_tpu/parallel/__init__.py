@@ -14,6 +14,10 @@ from fdtd2d_tpu.parallel.fdtd_sharded import (
     simulate_sharded_ttiled,
 )
 from fdtd2d_tpu.parallel.tiled_sharded import run_fdfd_tiled_sharded
+from fdtd2d_tpu.parallel.timedomain_sharded import (
+    TimeDomainSolverSharded,
+    shard_wave_bundle,
+)
 
 __all__ = [
     "make_mesh",
@@ -25,6 +29,8 @@ __all__ = [
     "plan_sharded_ttiled",
     "sharded_matvec_shardmap",
     "run_fdfd_tiled_sharded",
+    "TimeDomainSolverSharded",
+    "shard_wave_bundle",
     "factor_sharded",
     "solve_factored_sharded",
 ]
