@@ -23,10 +23,12 @@ one chip, 1.7 GB/device on a (4, 2) slice), the regime where every
 stored-factor mode is past its memory wall (fdfd/direct.py) and the
 iterative stack stalls with electrical size (fdfd/tiled.py:38-47).
 
-The reference has no distributed solves at all (SURVEY.md §2.3); this is
-the sixth distributed leg next to the sharded FDTD kernel, GSPMD FDFD,
-shard_map matvecs, the sublattice-sharded direct solve, and the
-patch-sharded Schwarz preconditioner.
+The reference has no distributed solves at all (SURVEY.md §2.3 — its
+scaling story ends at the sequential tiled sweep,
+/root/reference/python-src/tiled_solver.py:111-224); this is the sixth
+distributed leg next to the sharded FDTD kernel, GSPMD FDFD, shard_map
+matvecs, the sublattice-sharded direct solve, and the patch-sharded
+Schwarz preconditioner.
 """
 
 from __future__ import annotations
