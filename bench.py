@@ -58,6 +58,8 @@ TILED1024_BASELINE_S = 3.0      # reference ~3 s APPROXIMATE tiled solve at 1000
 # pays the full ~20 s each time — reference fdfd.py:112)
 DIRECT1024_BASELINE_S = 20.0
 TD4096_TRANSITS = 2.5           # timedomain settle budget (tuned on chip)
+DIRECT2048_RANK = 20            # HODLR rank/range-finder passes from the
+DIRECT2048_Q = 1                # round-5 probe (direct2048_fast_probe.py)
 DATAGEN_BASELINE_SPS = 1.0 / 0.72  # reference: one 256^2 spsolve per sample
 # reference's own torch train step (UNet2DModel fwd+bwd+AdamW, batch 8 at
 # 256^2) measured in this container on CPU 2026-08-19 (BASELINE.md; the
@@ -269,6 +271,39 @@ def bench_direct1024_batched(on_tpu):
             "vs_baseline": round(DIRECT1024_BASELINE_S / dt, 1)}
 
 
+def bench_direct2048(on_tpu):
+    """Fast exact repeat solves PAST the store-all-W factor-memory wall
+    (34 GB at 2048^2 — fdfd/direct.py): HODLR-compressed factors
+    (fdfd/compressed.py) with the round-5 probe configuration
+    (examples/direct2048_fast_probe.py: power-iteration range finder q=1 +
+    rank bump so refinement needs ~2 rounds instead of 8, stacked
+    sublattice scans). Warm repeat solve to 1e-6 TRUE f64 residual on the
+    HARD 50%-duty binary 5x scene. vs_baseline is null: the reference's
+    spsolve hits the LU fill-in wall at ~1000^2 (README.md:135)."""
+    from fdtd2d_tpu.core.scenes import hard_binary_scene
+    from fdtd2d_tpu.fdfd.direct import DirectSolver
+
+    N, omega = (2048, 17e9) if on_tpu else (128, 17e9)
+    dx = 1e-3
+    eps, mu, src = hard_binary_scene(N, seed=3, source_amp=10.0)
+    solver = DirectSolver(eps, mu, dx, dx, omega, pml_thickness=40,
+                          compressed=True, rank=DIRECT2048_RANK,
+                          leaf=128, power_iters=DIRECT2048_Q,
+                          # the stacked solve program plans 16.45 GB at
+                          # this size (compile-time OOM, see the probe) —
+                          # per-sublattice loop solves fit
+                          stacked_solve=False)
+    _, trace = solver.solve(src, refine_target=1e-6)   # compile + warm
+    t0 = time.perf_counter()
+    _, trace = solver.solve(src, refine_target=1e-6)
+    dt = time.perf_counter() - t0
+    assert trace[-2] < 1e-5, f"direct 2048 solve did not converge: {trace}"
+    return {"metric": f"direct_{N}sq_compressed_warm_solve",
+            "value": round(dt, 3), "unit": "s", "vs_baseline": None,
+            "store_gb": round(solver.compressed_bytes / 1e9, 2),
+            "rounds": len(trace) - 2}
+
+
 def bench_tiled1024(on_tpu):
     """Two-level tiled warm solve at 1024^2, contrast 1.5 (see _block_scene
     for the measured boundary). vs_baseline compares against the reference's
@@ -434,6 +469,7 @@ BENCHES = [
     ("fdfd512iter", bench_fdfd512_iter),
     ("direct1024", bench_direct1024),
     ("direct1024batched", bench_direct1024_batched),
+    ("direct2048", bench_direct2048),
     ("tiled1024", bench_tiled1024),
     ("tiled1024approx", bench_tiled1024_approx),
     ("timedomain4096", bench_timedomain4096),

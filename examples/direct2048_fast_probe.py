@@ -7,7 +7,14 @@ within <= 10 GB of stored factors. Two levers over the r3 configuration
   - range-finder power iteration (q=1) + rank bump within the byte budget,
     so refinement needs ~2 rounds instead of 8.
 
-Usage: python examples/direct2048_fast_probe.py [N] [rank] [q] [leaf]
+Usage: python examples/direct2048_fast_probe.py [N] [rank] [q] [leaf] [stacked]
+
+Round-5 probe results (one v5e chip, 15.75 GB usable HBM): the STACKED
+compressed solve program plans ~4x the scan intermediates and OOMs at
+compile time for every rank tried at 2048^2 (rank 20: 16.45 GB planned,
+over by 0.7 GB; rank 24: 17.3; rank 28: 19.5 — factor itself fits through
+rank 20/q=1 at 8.32 GB stored). The per-sublattice loop solve
+(stacked=0 -> DirectSolver(stacked_solve=False)) fits with room.
 Writes progress to stdout (redirect to a file — never pipe through tail,
 CLAUDE.md).
 """
@@ -23,6 +30,7 @@ def main():
     rank = int(sys.argv[2]) if len(sys.argv) > 2 else 24
     q = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     leaf = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+    stacked = bool(int(sys.argv[5])) if len(sys.argv) > 5 else False
 
     import jax
     print(f"devices: {jax.devices()}", flush=True)
@@ -36,7 +44,7 @@ def main():
     t0 = time.perf_counter()
     solver = DirectSolver(eps, mu, dx, dx, omega, pml_thickness=40,
                           compressed=True, rank=rank, leaf=leaf,
-                          power_iters=q)
+                          power_iters=q, stacked_solve=stacked)
     t1 = time.perf_counter()
     gb = solver.compressed_bytes / 1e9
     print(f"N={N} rank={rank} q={q} leaf={leaf}: factor {t1-t0:.1f} s "

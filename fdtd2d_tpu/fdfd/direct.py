@@ -545,7 +545,8 @@ class DirectSolver:
                  sigma_max: float = 2.0, m: int = 3, dtype=jnp.complex64,
                  checkpointed: bool = False, stride: int = 32,
                  compressed: bool = False, rank: int = 20, leaf: int = 128,
-                 power_iters: int = 1, hps: bool = False, hps_leaf: int = 8):
+                 power_iters: int = 1, stacked_solve: bool = True,
+                 hps: bool = False, hps_leaf: int = 8):
         import numpy as np
 
         from fdtd2d_tpu.ops.helmholtz import make_operator
@@ -571,7 +572,13 @@ class DirectSolver:
             nc = self.op.shape[1] // 2
             L = _comp.hodlr_plan(nc, leaf=leaf, rank=rank)
             omegas = _comp.make_test_matrices(nc, L, rank, dtype=dtype)
-            if even:
+            # the stacked solve batches all 4 sublattice scans into one
+            # program (~4x less sequential latency) but also materializes
+            # ~4x the scan intermediates: at 2048^2 rank 20 its solve
+            # program plans 16.45 GB (>15.75 GB HBM, measured compile-time
+            # OOM) where the per-sublattice loop solve fits with room —
+            # pass stacked_solve=False past that wall
+            if even and stacked_solve:
                 stacked = _comp.factor_compressed_stacked(
                     stack_coefficients(self.op), omegas, L=L, q=power_iters)
                 self._solve_fn = lambda r: _solve_stacked(stacked, r)
