@@ -515,13 +515,27 @@ def main() -> int:
             return 2
         names = [n for n in names if n in keep]
 
+    # Per-child wall-clock cap: tunneled-TPU fetches can HANG FOREVER
+    # without erroring (measured: a fdfd512 child blocked 16+ min at 2 s
+    # of CPU) — without a timeout one hung bench blocks the whole suite.
+    # 20 min covers the worst legitimate child (direct2048: remote first
+    # compile + 106 s factor + refined solves) with margin.
+    child_timeout = float(os.environ.get("FDTD2D_BENCH_TIMEOUT", "1200"))
+
     results = []
     for name in names:
         line = None
         for attempt in range(3):
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", name],
-                capture_output=True, text=True)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--child", name],
+                    capture_output=True, text=True, timeout=child_timeout)
+            except subprocess.TimeoutExpired:
+                sys.stderr.write(
+                    f"[bench {name}] attempt {attempt + 1} timed out after "
+                    f"{child_timeout:.0f} s (hung tunnel fetch?); killed\n")
+                continue
             lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if proc.returncode == 0 and lines:
                 line = lines[-1]
