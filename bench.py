@@ -485,6 +485,12 @@ BENCHES = [
 
 
 def run_child(name: str) -> None:
+    if name == "_hang":
+        # hidden host-only bench that never returns: exercises the parent's
+        # hung-child timeout without touching jax or the device (the real
+        # failure mode is a tunnel fetch/compile hanging with no CPU use)
+        time.sleep(3600)
+        return
     import jax
 
     from fdtd2d_tpu.utils.cache import enable_compilation_cache
@@ -509,11 +515,13 @@ def main() -> int:
     names = [n for n, _ in BENCHES]
     if args.only:
         keep = set(args.only.split(","))
-        unknown = keep - set(names)
+        unknown = keep - set(names) - {"_hang"}
         if unknown:
             sys.stderr.write(f"unknown bench(es): {sorted(unknown)}\n")
             return 2
         names = [n for n in names if n in keep]
+        if "_hang" in keep:          # test hook, see run_child
+            names.append("_hang")
 
     # Per-child wall-clock cap: tunneled-TPU fetches can HANG FOREVER
     # without erroring (measured: a fdfd512 child blocked 16+ min at 2 s
