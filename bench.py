@@ -529,20 +529,32 @@ def main() -> int:
     # 20 min covers the worst legitimate child (direct2048: remote first
     # compile + 106 s factor + refined solves) with margin.
     child_timeout = float(os.environ.get("FDTD2D_BENCH_TIMEOUT", "1200"))
+    # Suite-wide deadline: if the tunnel stays down, per-child retries
+    # alone would take len(names)*3*child_timeout (half a day for the full
+    # suite). Past the deadline, remaining rows are skipped LOUDLY.
+    deadline = time.monotonic() + float(
+        os.environ.get("FDTD2D_BENCH_SUITE_TIMEOUT", "5400"))
 
     results = []
     for name in names:
         line = None
         for attempt in range(3):
+            left = deadline - time.monotonic()
+            if left <= 0:
+                sys.stderr.write(f"[bench {name}] suite deadline exceeded; "
+                                 f"skipping remaining attempts\n")
+                break
             try:
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--child", name],
-                    capture_output=True, text=True, timeout=child_timeout)
+                    capture_output=True, text=True,
+                    timeout=min(child_timeout, left))
             except subprocess.TimeoutExpired:
                 sys.stderr.write(
                     f"[bench {name}] attempt {attempt + 1} timed out after "
-                    f"{child_timeout:.0f} s (hung tunnel fetch?); killed\n")
+                    f"{min(child_timeout, left):.0f} s (hung tunnel fetch?); "
+                    f"killed\n")
                 continue
             lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
             if proc.returncode == 0 and lines:

@@ -41,3 +41,15 @@ def test_unknown_bench_rejected():
         capture_output=True, text=True, timeout=60)
     assert proc.returncode == 2
     assert "unknown bench" in proc.stderr
+
+
+def test_suite_deadline_skips_remaining():
+    env = {**os.environ, "FDTD2D_BENCH_TIMEOUT": "30",
+           "FDTD2D_BENCH_SUITE_TIMEOUT": "2"}
+    proc = subprocess.run(
+        [sys.executable, BENCH, "--only", "_hang"],
+        env=env, capture_output=True, text=True, timeout=120)
+    # attempt 1 is capped by the 2 s suite deadline, later attempts skipped
+    assert "deadline exceeded" in proc.stderr, proc.stderr
+    assert proc.stderr.count("timed out") == 1, proc.stderr
+    assert proc.returncode == 1, proc.stderr
